@@ -1,0 +1,244 @@
+"""Greedy center-based k-mer clustering (the practical HSEARCH clusterer).
+
+Reference semantics (hclust2.cpp:86-152; hclust3.cpp is the same algorithm
+with recompute-instead-of-cache, which is moot here because the database
+stays in integer form):
+
+  state per k-mer: 0 = unprocessed, 1 = center, 2 = absorbed
+  for each of hash_L rounds: hash all non-absorbed k-mers with a fresh
+  single-table LSH; within each bucket, walk members in order — an
+  unprocessed point joins the FIRST candidate center within R (candidate
+  list = already-centers in bucket order, then points promoted earlier in
+  this bucket's walk); otherwise it is promoted to candidate itself.
+
+Because each point lands in exactly one bucket per round, buckets are
+independent within a round: the sequential walk is per-bucket only.  The
+TPU mapping is therefore:
+
+  hash     -> fused gather-GEMM + packed codes (lsh/pstable.py)
+  bucketing-> host-side grouping of sorted codes (cheap, O(N log N))
+  walk     -> "first-fit leader election": a lax.scan over bucket positions
+              carrying an availability vector, vmapped over a chunk of
+              padded buckets, with the (B, B) in-bucket distance matrix from
+              one exact GEMM.
+
+A pure-numpy sequential implementation (``_elect_reference``) encodes the
+reference semantics directly and is the parity oracle for the device kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import embedding
+from ..lsh import pstable
+from ..ops import distance
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterConfig:
+    """Defaults follow hclust2.cpp:185-194."""
+
+    hash_k: int = 16
+    hash_l: int = 32
+    w: float = 50.0
+    radius: float = 200.0
+    bucket_max: int = 256     # buckets larger than this are chunked
+    bucket_chunk: int = 32    # buckets processed per device call
+
+
+# ---------------------------------------------------------------------------
+# leader election
+# ---------------------------------------------------------------------------
+
+def _elect_reference(d: np.ndarray, state: np.ndarray, valid: np.ndarray,
+                     radius: float) -> np.ndarray:
+    """Sequential in-bucket walk (hclust2.cpp:107-132). Parity oracle.
+
+    d: (B, B) distances; state: (B,) 0/1; valid: (B,) padding mask.
+    Returns parent_local: (B,) index of the absorbing member, or -1.
+    """
+    b = d.shape[0]
+    pre = [j for j in range(b) if valid[j] and state[j] == 1]
+    promoted: list[int] = []
+    parent = np.full(b, -1, np.int64)
+    for p in range(b):
+        if not valid[p] or state[p] != 0:
+            continue
+        hit = -1
+        for j in pre + promoted:
+            if d[p, j] <= radius:
+                hit = j
+                break
+        if hit >= 0:
+            parent[p] = hit
+        else:
+            promoted.append(p)
+    return parent
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _elect_device(d: jax.Array, state: jax.Array, valid: jax.Array,
+                  radius: jax.Array) -> jax.Array:
+    """Batched first-fit leader election.
+
+    d: (NB, B, B) distances, state: (NB, B) 0/1, valid: (NB, B).
+    Matching priority = pre-existing centers in bucket order, then promoted
+    points in promotion (= bucket) order: key_j = pos_j + B * promoted_j.
+    """
+    nb, b, _ = d.shape
+    pos = jnp.arange(b, dtype=jnp.int32)
+    pre = (state == 1) & valid                      # (NB, B)
+
+    def step(avail, p):
+        # avail: (NB, B) availability as candidate
+        drow = d[:, p, :]                           # (NB, B)
+        match = avail & (drow <= radius)
+        key = jnp.where(pre, pos[None, :], pos[None, :] + b)
+        key = jnp.where(match, key, 2 * b)
+        best = jnp.argmin(key, axis=1).astype(jnp.int32)
+        any_match = jnp.min(key, axis=1) < 2 * b
+        unproc = (state[:, p] == 0) & valid[:, p]
+        absorbed = unproc & any_match
+        parent_p = jnp.where(absorbed, best, -1)
+        promote = unproc & ~any_match
+        avail = avail.at[:, p].set(avail[:, p] | promote)
+        return avail, parent_p
+
+    avail0 = pre
+    _, parents = jax.lax.scan(step, avail0, pos)
+    return parents.T                                # (NB, B)
+
+
+@functools.partial(jax.jit, static_argnames=("kmer_len",))
+def _bucket_distances(bucket_kmers: jax.Array, kmer_len: int) -> jax.Array:
+    """(NB, B, L) int k-mers -> (NB, B, B) exact distances (not squared)."""
+    nb, b, l = bucket_kmers.shape
+    coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+    emb = jnp.take(coords, bucket_kmers, axis=0).reshape(nb, b, l * 8)
+    d2 = jax.vmap(distance.sq_distance_matrix)(emb, emb)
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# bucketing (host)
+# ---------------------------------------------------------------------------
+
+def _make_buckets(codes: np.ndarray, active_ids: np.ndarray,
+                  bucket_max: int) -> list[np.ndarray]:
+    """Group active ids by code; chunk groups longer than bucket_max."""
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    sid = active_ids[order]
+    cuts = np.nonzero(sc[1:] != sc[:-1])[0] + 1
+    groups = np.split(sid, cuts)
+    out = []
+    for g in groups:
+        if len(g) <= 1:
+            continue  # singleton buckets cannot absorb anything
+        for s in range(0, len(g), bucket_max):
+            chunk = g[s:s + bucket_max]
+            if len(chunk) > 1:
+                out.append(chunk)
+    return out
+
+
+def _pad_buckets(buckets: list[np.ndarray], n_sentinel: int, width: int):
+    """-> (NB, width) id array (sentinel-padded), (NB, width) valid mask.
+
+    Fixed width keeps every device call the same shape -> one XLA compile
+    for the whole run (shape-polymorphic padding caused a recompile per
+    round on real TPU hardware).
+    """
+    if not buckets:
+        return (np.empty((0, width), np.int64), np.empty((0, width), bool))
+    ids = np.full((len(buckets), width), n_sentinel, np.int64)
+    for i, x in enumerate(buckets):
+        ids[i, :len(x)] = x
+    return ids, ids < n_sentinel
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ClusterResult:
+    parent: np.ndarray    # (N,) absorbing point id, or -1 for cluster heads
+    merged: np.ndarray    # (N,) final state 0/1/2
+
+    def clusters(self) -> list[np.ndarray]:
+        """Cluster member lists, head first (hclust2.cpp:137-150 order)."""
+        n = self.parent.shape[0]
+        children: dict[int, list[int]] = {}
+        for i, p in enumerate(self.parent):
+            if p >= 0:
+                children.setdefault(int(p), []).append(i)
+        out = []
+        for i in range(n):
+            if self.merged[i] != 2:
+                out.append(np.asarray([i] + children.get(i, []), np.int64))
+        return out
+
+
+def cluster_greedy(kmers: np.ndarray, key: jax.Array,
+                   config: ClusterConfig = ClusterConfig(),
+                   use_device: bool = True) -> ClusterResult:
+    """Run hash_L greedy rounds over the k-mer set."""
+    n, l = kmers.shape
+    kmers = np.asarray(kmers)
+    km_dev = jnp.asarray(kmers, jnp.int32)
+    merged = np.zeros(n, np.uint8)
+    parent = np.full(n, -1, np.int64)
+    keys = jax.random.split(key, config.hash_l)
+    for rnd in range(config.hash_l):
+        params = pstable.init(keys[rnd], l * embedding.AA_DIM,
+                              config.hash_k, 1, config.w)
+        codes = np.asarray(pstable.hash_codes(km_dev, params,
+                                              is_kmers=True)[0])
+        active = merged != 2
+        active_ids = np.nonzero(active)[0]
+        buckets = _make_buckets(codes[active], active_ids, config.bucket_max)
+        if not buckets:
+            continue
+        ids, valid = _pad_buckets(buckets, n, config.bucket_max)
+        # pad the chunk dimension too: fixed (chunk, bucket_max) shapes
+        nb = ids.shape[0]
+        ck = config.bucket_chunk
+        npad = (-nb) % ck
+        if npad:
+            ids = np.concatenate(
+                [ids, np.full((npad, config.bucket_max), n, np.int64)])
+            valid = np.concatenate(
+                [valid, np.zeros((npad, config.bucket_max), bool)])
+        # process bucket chunks through the device kernel
+        kmers_pad = np.concatenate([kmers, np.zeros((1, l), kmers.dtype)])
+        for s in range(0, ids.shape[0], ck):
+            bids = ids[s:s + ck]
+            bval = valid[s:s + ck]
+            bk = kmers_pad[bids]
+            state = np.where(bval, merged[np.minimum(bids, n - 1)], 2)
+            if use_device:
+                d = _bucket_distances(jnp.asarray(bk, jnp.int32), l)
+                par = np.asarray(_elect_device(
+                    d, jnp.asarray(state), jnp.asarray(bval),
+                    jnp.float32(config.radius)))
+            else:
+                d = np.sqrt(embedding.DISTANCE_SQUARE[
+                    bk[:, :, None, :], bk[:, None, :, :]].sum(-1))
+                par = np.stack([
+                    _elect_reference(d[i], state[i], bval[i], config.radius)
+                    for i in range(d.shape[0])])
+            for i in range(bids.shape[0]):
+                sel = par[i] >= 0
+                absorbed = bids[i][sel]
+                absorber = bids[i][par[i][sel]]
+                parent[absorbed] = absorber
+                merged[absorbed] = 2
+                merged[absorber] = 1   # "to be the real center" (:122)
+    return ClusterResult(parent=parent, merged=merged)

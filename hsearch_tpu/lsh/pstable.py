@@ -1,0 +1,119 @@
+"""p-stable (Gaussian random projection) LSH over embedded k-mer points.
+
+The scheme of hclust/src/hclust/lsh.hpp:8-69: per table, K Gaussian
+projection vectors a_k ~ N(0, I) and offsets b_k ~ U[0, W); the bucket index
+of point x along k is floor((a_k . x + b_k) / W); a point's bucket code is
+the K-tuple.  The reference concatenates the indices as a *string*
+(lsh.hpp:51-59) and seeds from random_device per instance (lsh.hpp:19-20);
+here codes are packed int64 (ops/segment.py) and parameters come from a jax
+PRNG key, so runs are reproducible.
+
+Projections of all N points are one (N, D) @ (D, T*K) GEMM.  For integer
+k-mer databases the GEMM contracts the 20-way one-hot directly against a
+pre-folded (L*20, T*K) table — the embedding never materializes (the
+"fused embed+project" path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import embedding
+from ..ops import segment
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PStableParams:
+    a: jax.Array          # (T, D, K) f32 projection vectors
+    b: jax.Array          # (T, K) f32 offsets in [0, W)
+    w: float = dataclasses.field(metadata=dict(static=True))
+    pack_bits: int = dataclasses.field(metadata=dict(static=True), default=16)
+
+    @property
+    def num_tables(self) -> int:
+        return self.a.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.a.shape[1]
+
+    @property
+    def hash_k(self) -> int:
+        return self.a.shape[2]
+
+
+def init(key: jax.Array, dim: int, hash_k: int = 4, hash_l: int = 4,
+         w: float = 50.0) -> PStableParams:
+    """Draw LSH parameters (lsh.hpp:19-31) for hash_l tables."""
+    ka, kb = jax.random.split(key)
+    a = jax.random.normal(ka, (hash_l, dim, hash_k), dtype=jnp.float32)
+    b = jax.random.uniform(kb, (hash_l, hash_k), dtype=jnp.float32,
+                           minval=0.0, maxval=w)
+    return PStableParams(a=a, b=b, w=float(w))
+
+
+@jax.jit
+def bucket_indices(points: jax.Array, params: PStableParams) -> jax.Array:
+    """(N, D) points -> (T, N, K) int32 bucket indices.
+
+    floor((a.x + b)/W), per lsh.hpp:44-49; all tables in one GEMM.
+    """
+    t, d, k = params.a.shape
+    aflat = params.a.transpose(1, 0, 2).reshape(d, t * k)
+    proj = jnp.dot(jnp.asarray(points, jnp.float32), aflat,
+                   preferred_element_type=jnp.float32)      # (N, T*K)
+    proj = proj.reshape(-1, t, k) + params.b[None, :, :]
+    return jnp.floor(proj / params.w).astype(jnp.int32).transpose(1, 0, 2)
+
+
+def _folded_kmer_table(params: PStableParams, kmer_len: int) -> jax.Array:
+    """Fold AA coordinates into the projections: (L*20, T*K).
+
+    F[l*20 + aa, tk] = coords[aa] . a[t, l*8:(l+1)*8, k] — so that
+    projection(kmer) = sum_l F[l*20 + kmer_l]  (one gather-sum, no embed).
+    """
+    t, d, k = params.a.shape
+    ad = embedding.AA_DIM
+    assert d == kmer_len * ad, (d, kmer_len, ad)
+    coords = jnp.asarray(embedding.COORDINATES, jnp.float32)  # (20, 8)
+    a = params.a.reshape(t, kmer_len, ad, k)                  # (T, L, 8, K)
+    f = jnp.einsum("ca,tlak->ltck", coords, a,
+                   preferred_element_type=jnp.float32)        # (L,T,20,K)
+    return f
+
+
+@jax.jit
+def bucket_indices_kmers(kmers: jax.Array,
+                         params: PStableParams) -> jax.Array:
+    """(N, L) int k-mers -> (T, N, K) int32 bucket indices, fused embed+project.
+
+    Equals bucket_indices(embed_kmers(kmers), params) without the (N, 8L)
+    intermediate: per position, gather the pre-folded projection row.
+    """
+    n, l = kmers.shape
+    f = _folded_kmer_table(params, l)                   # (L, T, 20, K)
+    t, k = f.shape[1], f.shape[3]
+    fl = f.transpose(0, 2, 1, 3).reshape(l, 20, t * k)  # (L, 20, T*K)
+    kmers = kmers.astype(jnp.int32)
+    # Accumulate position by position: each step is an (N,) gather from a
+    # (20, T*K) table — O(N*T*K) memory, no (N, L, T*K) intermediate.
+    proj = jnp.zeros((n, t * k), jnp.float32)
+    for pos in range(l):
+        proj = proj + jnp.take(fl[pos], kmers[:, pos], axis=0)
+    proj = proj.reshape(n, t, k) + params.b[None, :, :]
+    return jnp.floor(proj / params.w).astype(jnp.int32).transpose(1, 0, 2)
+
+
+def hash_codes(points_or_kmers: jax.Array, params: PStableParams,
+               is_kmers: bool) -> jax.Array:
+    """-> (T, N) packed int64 bucket codes."""
+    if is_kmers:
+        idx = bucket_indices_kmers(points_or_kmers, params)
+    else:
+        idx = bucket_indices(points_or_kmers, params)
+    return segment.pack_codes(idx, params.pack_bits)

@@ -1,0 +1,149 @@
+"""Sort-based hash tables: the TPU replacement for pointer hash maps.
+
+The reference keeps LSH tables as ``unordered_map<string, vector<id>>``
+(motif_both_points.cpp:25, lsh.hpp:51-59).  On TPU a "hash table" is:
+
+    codes   (T, N) int64   packed bucket code per point per table
+    perm    (T, N) int32   argsort of each table's codes
+    sorted  (T, N) int64   codes[perm]
+
+Bucket membership queries become ``searchsorted`` pairs and contiguous
+gathers from ``perm`` — fully vectorized, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# splitmix64-style odd multiplier for code mixing.
+_MIX_MULT = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as int64
+_MIX_XOR = np.int64(0x2545F4914F6CDD1D)
+
+
+def pack_codes_exact(buckets: jax.Array, bits: int = 16) -> jax.Array:
+    """(..., K) int32 bucket indices -> (...,) int64, exact for K*bits <= 64.
+
+    Replaces the reference's string-concatenation hash key (lsh.hpp:51-59)
+    with a collision-free fixed-width packing.  Bucket indices are clipped
+    to the signed ``bits`` range (with W=50 projections span only a few
+    buckets; the clip is pure safety).
+    """
+    k = buckets.shape[-1]
+    if k * bits > 64:
+        raise ValueError(f"K={k} bucket indices do not fit 64 bits exactly; "
+                         "use pack_codes_mixed")
+    lim = 1 << (bits - 1)
+    b = jnp.clip(buckets, -lim, lim - 1).astype(jnp.int64) + lim
+    out = jnp.zeros(buckets.shape[:-1], jnp.int64)
+    for i in range(k):
+        out = (out << bits) | b[..., i]
+    return out
+
+
+def pack_codes_mixed(buckets: jax.Array) -> jax.Array:
+    """(..., K) int32 -> (...,) int64 mixing hash (for K*16 > 64).
+
+    Collisions merge buckets, which only adds verification candidates —
+    never drops a true near neighbor (exactness comes from the verify pass).
+    """
+    h = jnp.full(buckets.shape[:-1], jnp.int64(0x12345678))
+    for i in range(buckets.shape[-1]):
+        h = h * _MIX_MULT + buckets[..., i].astype(jnp.int64)
+        h = h ^ (h >> 29) ^ _MIX_XOR
+    return h
+
+
+def pack_codes(buckets: jax.Array, bits: int = 16) -> jax.Array:
+    if buckets.shape[-1] * bits <= 64:
+        return pack_codes_exact(buckets, bits)
+    return pack_codes_mixed(buckets)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SortedTables:
+    """Multi-table sorted-code index over N points."""
+
+    sorted_codes: jax.Array   # (T, N) int64
+    perm: jax.Array           # (T, N) int32
+
+    @property
+    def num_tables(self) -> int:
+        return self.sorted_codes.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.sorted_codes.shape[1]
+
+
+@jax.jit
+def build_tables(codes: jax.Array) -> SortedTables:
+    """(T, N) packed codes -> SortedTables (one argsort per table)."""
+    perm = jnp.argsort(codes, axis=1).astype(jnp.int32)
+    sorted_codes = jnp.take_along_axis(codes, perm.astype(jnp.int64), axis=1)
+    return SortedTables(sorted_codes=sorted_codes, perm=perm)
+
+
+@jax.jit
+def probe(tables: SortedTables, qcodes: jax.Array):
+    """(C, T) query codes -> (start, count), each (C, T) int32.
+
+    start/count delimit each query's bucket in each table's perm row.
+    """
+    def one(sc, qc):  # sc: (N,), qc: (C,)
+        lo = jnp.searchsorted(sc, qc, side="left")
+        hi = jnp.searchsorted(sc, qc, side="right")
+        return lo.astype(jnp.int32), (hi - lo).astype(jnp.int32)
+
+    lo, cnt = jax.vmap(one, in_axes=(0, 1), out_axes=1)(
+        tables.sorted_codes, qcodes)
+    return lo, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("cand_max",))
+def gather_candidates(tables: SortedTables, start: jax.Array,
+                      count: jax.Array, cand_max: int):
+    """Gather up to cand_max point ids per (query, table).
+
+    Returns ids (C, T*cand_max) int32 with invalid slots set to N (a sentinel
+    one past the last point), suitable for padded downstream gathers.
+    """
+    c, t = start.shape
+    n = tables.num_points
+    offs = jnp.arange(cand_max, dtype=jnp.int32)             # (M,)
+    pos = start[:, :, None] + offs[None, None, :]            # (C, T, M)
+    valid = offs[None, None, :] < count[:, :, None]
+    pos = jnp.where(valid, pos, 0)
+    # perm is (T, N); gather along N for each table.
+    ids = jax.vmap(lambda p, idx: p[idx], in_axes=(0, 1), out_axes=1)(
+        tables.perm, pos)                                    # (C, T, M)
+    ids = jnp.where(valid, ids, n)
+    return ids.reshape(c, t * cand_max)
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def dedup_sorted(ids: jax.Array, sentinel: int) -> jax.Array:
+    """Sort each row and sentinel-out duplicates (keeps first occurrence).
+
+    Implements the reference's per-center ``label[]`` dedup
+    (motif_both_points.cpp:225-238) as a sort + neighbor-equality mask.
+    Invalid entries must already equal ``sentinel`` (which sorts last).
+    """
+    s = jnp.sort(ids, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((s.shape[0], 1), bool), s[:, 1:] == s[:, :-1]], axis=1)
+    return jnp.where(dup, sentinel, s)
+
+
+def max_bucket_size(codes: np.ndarray) -> int:
+    """Largest bucket across all tables (host-side, for static cand_max)."""
+    best = 1
+    for t in range(codes.shape[0]):
+        _, counts = np.unique(np.asarray(codes[t]), return_counts=True)
+        best = max(best, int(counts.max()))
+    return best

@@ -1,0 +1,108 @@
+"""Brute-force exact search: the oracle every accelerated path is tested against.
+
+TPU-native equivalent of motif_both_points_noLSH.cpp:36-56 (all centers x all
+k-mers exact Euclidean distance, hits <= R) and of the BLOSUM-Metric exact
+scorers.  On TPU "brute force" is itself fast — a (C, 20L) x (20L, N) GEMM —
+so this doubles as a usable search engine for small/medium databases and as
+the ground-truth generator for recall evaluation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance
+
+
+def _center_blocks(centers: np.ndarray, block: int):
+    c = centers.shape[0]
+    for s in range(0, c, block):
+        yield s, centers[s:s + block]
+
+
+@functools.partial(jax.jit, static_argnames=("is_kmers",))
+def _dist_block(centers, db, is_kmers: bool):
+    if is_kmers:
+        return distance.kmer_sq_distance_matrix(centers, db)
+    return distance.point_vs_kmer_sq_distance(centers, db)
+
+
+def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
+                  center_block: int = 256):
+    """All (center, kmer) pairs with embedding distance <= radius.
+
+    db_kmers: (N, L) int; centers: (C, L) int k-mers or (C, 8L) real points.
+    Returns (center_idx, kmer_idx, dist) int64/int64/float32 host arrays,
+    sorted by (center, kmer) — the exact hit set the reference's noLSH tool
+    writes as triples.
+    """
+    db = jnp.asarray(db_kmers)
+    is_kmers = centers.ndim == 2 and centers.shape[1] == db_kmers.shape[1] \
+        and np.issubdtype(centers.dtype, np.integer)
+    r2 = radius * radius
+    ci, ki, dd = [], [], []
+    for s, blk in _center_blocks(centers, center_block):
+        d2 = np.asarray(_dist_block(jnp.asarray(blk), db, is_kmers))
+        hit_c, hit_k = np.nonzero(d2 <= r2)
+        ci.append(hit_c + s)
+        ki.append(hit_k)
+        dd.append(np.sqrt(d2[hit_c, hit_k]))
+    if not ci:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float32))
+    return (np.concatenate(ci), np.concatenate(ki),
+            np.concatenate(dd).astype(np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "is_kmers", "largest"))
+def _topk_block(centers, db, k: int, is_kmers: bool, largest: bool):
+    if is_kmers:
+        d = distance.kmer_sq_distance_matrix(centers, db)
+    else:
+        d = distance.point_vs_kmer_sq_distance(centers, db)
+    vals, idx = jax.lax.top_k(-d if not largest else d, k)
+    return (jnp.abs(vals), idx)
+
+
+def search_topk(db_kmers: np.ndarray, centers: np.ndarray, k: int,
+                center_block: int = 256):
+    """k nearest database k-mers per center by exact embedding distance.
+
+    Returns (dists (C, k) f32, ids (C, k) int32).
+    """
+    db = jnp.asarray(db_kmers)
+    is_kmers = np.issubdtype(centers.dtype, np.integer)
+    out_d, out_i = [], []
+    for _, blk in _center_blocks(centers, center_block):
+        d2, idx = _topk_block(jnp.asarray(blk), db, k, is_kmers, False)
+        out_d.append(np.sqrt(np.asarray(d2)))
+        out_i.append(np.asarray(idx))
+    return np.concatenate(out_d), np.concatenate(out_i)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_blosum_block(q, db, k: int):
+    s = distance.kmer_blosum_score_matrix(q, db)
+    vals, idx = jax.lax.top_k(s, k)
+    return vals, idx
+
+
+def search_topk_blosum(db_kmers: np.ndarray, queries: np.ndarray, k: int,
+                       center_block: int = 256):
+    """k best database k-mers per query by ungapped BLOSUM62 score.
+
+    The similarity-side oracle of BLOSUM-Metric (k_nearest_neighbor_
+    similarity.cpp enumerates top-k peptides by score; here scored exactly
+    against a concrete database).  Returns (scores (C,k) f32, ids (C,k)).
+    """
+    db = jnp.asarray(db_kmers)
+    out_s, out_i = [], []
+    for _, blk in _center_blocks(queries, center_block):
+        s, idx = _topk_blosum_block(jnp.asarray(blk), db, k)
+        out_s.append(np.asarray(s))
+        out_i.append(np.asarray(idx))
+    return np.concatenate(out_s), np.concatenate(out_i)

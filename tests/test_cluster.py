@@ -1,0 +1,92 @@
+"""Clustering: device leader election == sequential reference; end-to-end."""
+
+import jax
+import numpy as np
+
+from hsearch_tpu.cluster import centroid, greedy, union_find
+from hsearch_tpu.core import embedding
+
+
+def _random_kmers(rng, n, l):
+    return rng.integers(0, 20, size=(n, l), dtype=np.int32)
+
+
+def _bucket_dist(bk):
+    return np.sqrt(embedding.DISTANCE_SQUARE[
+        bk[:, :, None, :], bk[:, None, :, :]].sum(-1))
+
+
+def test_leader_election_matches_reference(rng):
+    """Device first-fit election == sequential hclust2 walk, many cases."""
+    for trial in range(20):
+        nb, b, l = 4, 12, 6
+        bk = rng.integers(0, 20, size=(nb, b, l), dtype=np.int32)
+        # duplicate some rows so distances of 0 occur
+        bk[:, 5] = bk[:, 1]
+        state = rng.integers(0, 2, size=(nb, b)).astype(np.uint8)
+        valid = rng.random((nb, b)) > 0.2
+        radius = float(rng.uniform(10, 40))
+        d = _bucket_dist(bk)
+        got = np.asarray(greedy._elect_device(
+            jax.numpy.asarray(d, jax.numpy.float32),
+            jax.numpy.asarray(state), jax.numpy.asarray(valid),
+            jax.numpy.float32(radius)))
+        for i in range(nb):
+            want = greedy._elect_reference(d[i], state[i], valid[i], radius)
+            np.testing.assert_array_equal(got[i], want, err_msg=f"t{trial} b{i}")
+
+
+def test_cluster_greedy_device_matches_host(rng):
+    km = _random_kmers(rng, 150, 8)
+    # plant duplicates and near-duplicates to force absorption
+    km[50:100] = km[:50]
+    cfg = greedy.ClusterConfig(hash_k=8, hash_l=4, w=50.0, radius=20.0,
+                               bucket_max=64, bucket_chunk=8)
+    key = jax.random.key(0)
+    r_dev = greedy.cluster_greedy(km, key, cfg, use_device=True)
+    r_host = greedy.cluster_greedy(km, key, cfg, use_device=False)
+    np.testing.assert_array_equal(r_dev.parent, r_host.parent)
+    np.testing.assert_array_equal(r_dev.merged, r_host.merged)
+
+
+def test_cluster_greedy_invariants(rng):
+    km = _random_kmers(rng, 200, 8)
+    km[100:150] = km[:50]  # exact duplicates must co-cluster
+    cfg = greedy.ClusterConfig(hash_k=8, hash_l=8, w=50.0, radius=15.0,
+                               bucket_max=128)
+    res = greedy.cluster_greedy(km, jax.random.key(1), cfg)
+    clusters = res.clusters()
+    # every point appears exactly once
+    all_ids = np.sort(np.concatenate(clusters))
+    np.testing.assert_array_equal(all_ids, np.arange(200))
+    # members are within radius of their head (greedy guarantee)
+    for c in clusters:
+        head = km[c[0]]
+        for m in c[1:]:
+            d = np.sqrt(embedding.DISTANCE_SQUARE[head, km[m]].sum())
+            assert d <= cfg.radius + 1e-3
+    # identical k-mers should nearly always be absorbed together
+    n_heads = sum(1 for c in clusters if len(c) > 1)
+    assert n_heads > 0
+
+
+def test_cluster_centroid_runs(rng):
+    km = _random_kmers(rng, 60, 6)
+    km[30:] = km[:30]
+    cfg = centroid.CentroidConfig(hash_k=8, hash_l=4, w=50.0, radius=30.0)
+    members = centroid.cluster_centroid(km, jax.random.key(2), cfg)
+    all_ids = np.sort(np.concatenate(members))
+    np.testing.assert_array_equal(all_ids, np.arange(60))
+    assert len(members) < 60  # something merged
+
+
+def test_union_find():
+    uf = union_find.UnionFind(6)
+    uf.union_edges([0, 1, 3], [1, 2, 4])
+    labels = uf.components()
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert labels[5] == 5
+    groups = uf.groups()
+    sizes = sorted(len(g) for g in groups)
+    assert sizes == [1, 2, 3]
