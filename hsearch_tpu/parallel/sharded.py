@@ -1,0 +1,223 @@
+"""Database-sharded LSH motif search over a (data, db) device mesh.
+
+The scaling design the reference lacks (SURVEY §2.7, §5 "distributed
+communication backend: none"): the (N, L) k-mer database and its LSH tables
+are partitioned along N over the ``db`` mesh axis; each device owns an
+independent sub-index (hash + argsort are shard-local, no communication at
+build).  Query centers are data-parallel over the ``data`` axis.  A probe
+touches only shard-local tables; the only collective is one
+``all_gather`` of fixed-size verified-hit blocks along ``db`` — verified
+hits are tiny (ids + distances), so the merge rides ICI cheaply, never raw
+buckets (SURVEY §7 "multi-host LSH build").
+
+Semantics match the single-device engine exactly: union over shards of
+per-shard LSH-probe + exact-verify equals the single index's result when
+per-shard tables use the same projections (hit sets are verified exact, so
+sharding only re-partitions which candidates each table surfaces;
+tests/test_parallel.py asserts shard-merged == single-host).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core import embedding
+from ..lsh import pstable
+from ..ops import segment
+from ..search import motif
+from . import mesh as mesh_lib
+
+DATA, DB = mesh_lib.DATA_AXIS, mesh_lib.DB_AXIS
+
+
+@dataclasses.dataclass
+class ShardedMotifIndex:
+    """Per-shard LSH sub-indexes over a device mesh.
+
+    ``perm`` holds *local* point ids (0..n_local-1 per shard); they are
+    globalized inside the search step via the shard's ``db`` axis index.
+    """
+
+    mesh: jax.sharding.Mesh
+    params: pstable.PStableParams     # replicated
+    sorted_codes: jax.Array           # (T, N) int64, sharded P(None, db)
+    perm: jax.Array                   # (T, N) int32 local ids, P(None, db)
+    db_kmers: jax.Array               # (N, L) int32, sharded P(db, None)
+    cand_max: int
+    n_points: int                     # true (unpadded) database size
+
+    @property
+    def n_local(self) -> int:
+        return self.db_kmers.shape[0] // self.mesh.shape[DB]
+
+    @property
+    def kmer_len(self) -> int:
+        return self.db_kmers.shape[1]
+
+
+def build_index(db_kmers: np.ndarray, key: jax.Array,
+                mesh: jax.sharding.Mesh,
+                config: motif.MotifSearchConfig = motif.MotifSearchConfig(),
+                cand_max: int | None = None) -> ShardedMotifIndex:
+    """Shard the database over ``db`` and build per-shard sorted tables."""
+    n, l = db_kmers.shape
+    ndb = mesh.shape[DB]
+    params = pstable.init(key, l * embedding.AA_DIM, config.hash_k,
+                          config.hash_l, config.w)
+    padded, _ = mesh_lib.pad_to_multiple(
+        np.asarray(db_kmers, np.int32), ndb, axis=0, fill=0)
+    km = jax.device_put(padded, NamedSharding(mesh, P(DB, None)))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DB, None), P(), P()),
+        out_specs=(P(None, DB), P(None, DB)))
+    def _build(local_km, a, b):
+        p = dataclasses.replace(params, a=a, b=b)
+        codes = pstable.hash_codes(local_km, p, is_kmers=True)   # (T, nloc)
+        tabs = segment.build_tables(codes)
+        return tabs.sorted_codes, tabs.perm
+
+    sorted_codes, perm = jax.jit(_build)(km, params.a, params.b)
+    if cand_max is None:
+        cand_max = config.cand_max
+    if cand_max is None:
+        # max bucket size across shards (host side, build-time only)
+        cand_max = 1
+        sc = np.asarray(sorted_codes)
+        for t in range(sc.shape[0]):
+            _, counts = np.unique(sc[t], return_counts=True)
+            cand_max = max(cand_max, int(counts.max()))
+    return ShardedMotifIndex(mesh=mesh, params=params,
+                             sorted_codes=sorted_codes, perm=perm,
+                             db_kmers=km, cand_max=int(cand_max),
+                             n_points=n)
+
+
+def _search_step(index: ShardedMotifIndex, is_kmers: bool):
+    """Build the jitted SPMD search step for this index's mesh/shapes.
+
+    Per device: hash the local center block, probe the local tables,
+    dedup, exact-verify against the local db shard, globalize ids, then
+    all-gather hit blocks along ``db``.  Output is sharded over ``data``
+    only — every data row holds the full merged candidate set.
+    """
+    msh = index.mesh
+    cand_max = index.cand_max
+    n_local = index.n_local
+    n_total = index.db_kmers.shape[0]
+    kmer_len = index.kmer_len
+
+    @functools.partial(
+        jax.shard_map, mesh=msh,
+        in_specs=(P(None, DB), P(None, DB), P(DB, None), P(DATA, None),
+                  P(), P()),
+        out_specs=(P(DATA, None), P(DATA, None), P(DATA, None)),
+        # outputs are replicated over ``db`` by the trailing all_gather,
+        # which the static VMA checker cannot infer
+        check_vma=False)
+    def step(sorted_codes, perm, db_local, centers_local, a, b):
+        p = dataclasses.replace(index.params, a=a, b=b)
+        qcodes = pstable.hash_codes(centers_local, p, is_kmers=is_kmers).T
+        tabs = segment.SortedTables(sorted_codes=sorted_codes, perm=perm)
+        start, count = segment.probe(tabs, qcodes)
+        count = jnp.minimum(count, cand_max)
+        ids = segment.gather_candidates(tabs, start, count, cand_max)
+        ids = segment.dedup_sorted(ids, sentinel=n_local)        # local ids
+        ptab = motif._center_ptables(centers_local, kmer_len)
+        db_pad = jnp.concatenate(
+            [db_local, jnp.zeros((1, kmer_len), jnp.int32)], axis=0)
+        cand = jnp.take(db_pad, ids, axis=0)                     # (C, M, L)
+        d2 = jnp.take_along_axis(
+            ptab[:, None, :, :], cand[:, :, :, None], axis=3,
+        )[..., 0].sum(axis=2)
+        valid = ids < n_local
+        shard = jax.lax.axis_index(DB).astype(jnp.int32)
+        gids = jnp.where(valid, ids + shard * n_local, n_total)
+        # merge: one all-gather of (C, M) blocks along the candidate axis
+        gids = jax.lax.all_gather(gids, DB, axis=1, tiled=True)
+        d2 = jax.lax.all_gather(d2, DB, axis=1, tiled=True)
+        valid = jax.lax.all_gather(valid, DB, axis=1, tiled=True)
+        return gids, d2, valid
+
+    return jax.jit(step)
+
+
+def search(index: ShardedMotifIndex, centers: np.ndarray,
+           radius: float = 200.0):
+    """All (center, kmer) pairs within ``radius``, merged across shards.
+
+    Returns (center_idx, kmer_idx, dist) host arrays — same contract as
+    search.motif.search, but SPMD over the index's mesh.
+    """
+    is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
+    ndata = index.mesh.shape[DATA]
+    c = centers.shape[0]
+    blk, _ = mesh_lib.pad_to_multiple(
+        np.asarray(centers, np.int32 if is_kmers else np.float32),
+        ndata, axis=0, fill=0)
+    cdev = jax.device_put(
+        blk, NamedSharding(index.mesh, P(DATA, None)))
+    step = _search_step(index, is_kmers)
+    gids, d2, valid = step(index.sorted_codes, index.perm, index.db_kmers,
+                           cdev, index.params.a, index.params.b)
+    gids = np.asarray(gids)[:c]
+    d2 = np.asarray(d2)[:c]
+    hits = np.asarray(valid)[:c] & (d2 <= radius * radius) \
+        & (gids < index.n_points)
+    hc, hm = np.nonzero(hits)
+    return (hc.astype(np.int64), gids[hc, hm].astype(np.int64),
+            np.sqrt(np.maximum(d2[hc, hm], 0.0)).astype(np.float32))
+
+
+def exact_topk(db_kmers: np.ndarray, centers: np.ndarray, k: int,
+               mesh: jax.sharding.Mesh):
+    """Sharded brute-force top-k: per-shard exact distances + local top-k,
+    all-gather of the k-blocks along ``db``, then a global top-k merge.
+
+    The collective-merge pattern of SURVEY §2.7 in its purest form; also the
+    multi-device ground-truth oracle for recall tests.
+    Returns (idx (C, k) int64, dist (C, k) f32) host arrays.
+    """
+    ndb, ndata = mesh.shape[DB], mesh.shape[DATA]
+    n, l = db_kmers.shape
+    dbp, _ = mesh_lib.pad_to_multiple(np.asarray(db_kmers, np.int32), ndb,
+                                      axis=0)
+    c = centers.shape[0]
+    cp, _ = mesh_lib.pad_to_multiple(np.asarray(centers, np.int32), ndata,
+                                     axis=0)
+    n_local = dbp.shape[0] // ndb
+    dsq = jnp.asarray(embedding.DISTANCE_SQUARE, jnp.float32)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DB, None), P(DATA, None)),
+        out_specs=(P(DATA, None), P(DATA, None)),
+        check_vma=False)
+    def step(db_local, c_local):
+        ptab = jnp.take(dsq, c_local.astype(jnp.int32), axis=0)  # (C, L, 20)
+        oh = jax.nn.one_hot(db_local, 20, dtype=jnp.float32)     # (n, L, 20)
+        d2 = jnp.einsum("clk,nlk->cn", ptab, oh,
+                        preferred_element_type=jnp.float32)
+        shard = jax.lax.axis_index(DB).astype(jnp.int32)
+        pad_invalid = (shard * n_local + jnp.arange(n_local)) >= n
+        d2 = jnp.where(pad_invalid[None, :], jnp.inf, d2)
+        neg, li = jax.lax.top_k(-d2, k)
+        gi = li + shard * n_local
+        # gather each shard's top-k, then merge to a global top-k
+        negs = jax.lax.all_gather(neg, DB, axis=1, tiled=True)   # (C, ndb*k)
+        gis = jax.lax.all_gather(gi, DB, axis=1, tiled=True)
+        neg2, sel = jax.lax.top_k(negs, k)
+        return jnp.take_along_axis(gis, sel, axis=1), -neg2
+
+    dbd = jax.device_put(dbp, NamedSharding(mesh, P(DB, None)))
+    cd = jax.device_put(cp, NamedSharding(mesh, P(DATA, None)))
+    idx, d2 = jax.jit(step)(dbd, cd)
+    return (np.asarray(idx)[:c].astype(np.int64),
+            np.sqrt(np.maximum(np.asarray(d2)[:c], 0.0)).astype(np.float32))
