@@ -117,3 +117,70 @@ def hash_codes(points_or_kmers: jax.Array, params: PStableParams,
     else:
         idx = bucket_indices(points_or_kmers, params)
     return segment.pack_codes(idx, params.pack_bits)
+
+
+def _projections(points_or_kmers: jax.Array, params: PStableParams,
+                 is_kmers: bool) -> jax.Array:
+    """Raw (N, T, K) projection values (a.x + b), shared by single-probe
+    and multiprobe hashing."""
+    t, d, k = params.a.shape
+    if is_kmers:
+        n, l = points_or_kmers.shape
+        f = _folded_kmer_table(params, l)                     # (L, T, 20, K)
+        fl = f.transpose(0, 2, 1, 3).reshape(l, 20, t * k)
+        km = points_or_kmers.astype(jnp.int32)
+        proj = jnp.zeros((n, t * k), jnp.float32)
+        for pos in range(l):
+            proj = proj + jnp.take(fl[pos], km[:, pos], axis=0)
+    else:
+        aflat = params.a.transpose(1, 0, 2).reshape(d, t * k)
+        proj = jnp.dot(jnp.asarray(points_or_kmers, jnp.float32), aflat,
+                       preferred_element_type=jnp.float32)
+    return proj.reshape(-1, t, k) + params.b[None, :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("is_kmers", "num_probes"))
+def multiprobe_codes(queries: jax.Array, params: PStableParams,
+                     is_kmers: bool, num_probes: int) -> jax.Array:
+    """Query-directed multiprobe: (C, ...) queries -> (T, C, P) packed codes.
+
+    Probe 0 is the home bucket; probes 1..P-1 flip, one at a time, the hash
+    dimensions whose projection lies closest to a bucket boundary (toward
+    that boundary) — the perturbation most likely to hold a near neighbor
+    (Lv et al., multi-probe LSH).  Narrow-W tables keep buckets (and the
+    verify bill) small; the extra probes recover the recall that W bought
+    in the single-probe scheme.  No reference equivalent: the reference
+    compensates with more tables (hash_L, motif_both_points.cpp:206-218).
+    """
+    scaled = _projections(queries, params, is_kmers) / params.w  # (C, T, K)
+    base = jnp.floor(scaled)
+    frac = scaled - base                       # in [0, 1)
+    base = base.astype(jnp.int32)
+    # distance to nearest boundary and its direction per hash dim
+    up = frac > 0.5
+    delta = jnp.where(up, 1.0 - frac, frac)    # (C, T, K)
+    step = jnp.where(up, 1, -1).astype(jnp.int32)
+    k = base.shape[-1]
+    # subset expansion: flip every subset of the J closest-to-boundary dims
+    # (probe j's set bits select which of those dims flip); J chosen so the
+    # 2^J subsets cover num_probes
+    j_dims = 0
+    while (1 << j_dims) < num_probes and j_dims < k:
+        j_dims += 1
+    order = jnp.argsort(delta, axis=-1)        # (C, T, K) ascending
+    flips = []
+    for j in range(j_dims):
+        dim = order[..., j:j + 1]              # (C, T, 1)
+        stepj = jnp.take_along_axis(step, dim, axis=-1)
+        bump = jnp.zeros_like(base)
+        bump = jnp.put_along_axis(bump, dim, stepj, axis=-1, inplace=False)
+        flips.append(bump)
+    codes = []
+    for pid in range(min(num_probes, 1 << j_dims)):
+        b = base
+        for j in range(j_dims):
+            if pid & (1 << j):
+                b = b + flips[j]
+        codes.append(segment.pack_codes(b, params.pack_bits))
+    out = jnp.stack(codes, axis=-1)            # (C, T, P)
+    return out.transpose(1, 0, 2)              # (T, C, P)

@@ -106,6 +106,22 @@ def point_vs_kmer_sq_distance(points: jax.Array, db: jax.Array) -> jax.Array:
     return jnp.maximum(x2[:, None] + p2[None, :] - 2.0 * cross, 0.0)
 
 
+def ptable_distances(ptab: jax.Array, cand: jax.Array) -> jax.Array:
+    """P-table candidate distances: (C, L, 20) tables x (C, M, L) k-mers.
+
+    d2[c, m] = sum_l ptab[c, l, cand[c, m, l]], evaluated as L independent
+    (C, M) gathers — never materializes a (C, M, L, 20) broadcast (which a
+    single take_along_axis over a broadcast operand can, and did: ~1.7 GB
+    at bench shapes).
+    """
+    c, m, l = cand.shape
+    d2 = jnp.zeros((c, m), jnp.float32)
+    for pos in range(l):
+        d2 = d2 + jnp.take_along_axis(ptab[:, pos, :], cand[:, :, pos],
+                                      axis=1)
+    return d2
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def _scan_blocks_sq(q, db_blocks, block):
     def body(_, dbb):

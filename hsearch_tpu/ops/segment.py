@@ -91,11 +91,12 @@ def build_tables(codes: jax.Array) -> SortedTables:
 
 @jax.jit
 def probe(tables: SortedTables, qcodes: jax.Array):
-    """(C, T) query codes -> (start, count), each (C, T) int32.
+    """(C, T) or (C, T, P) query codes -> (start, count) of the same shape.
 
-    start/count delimit each query's bucket in each table's perm row.
+    start/count delimit each query's bucket in each table's perm row; a
+    trailing P axis holds multiprobe variants of the same query.
     """
-    def one(sc, qc):  # sc: (N,), qc: (C,)
+    def one(sc, qc):  # sc: (N,), qc: (C,) or (C, P)
         lo = jnp.searchsorted(sc, qc, side="left")
         hi = jnp.searchsorted(sc, qc, side="right")
         return lo.astype(jnp.int32), (hi - lo).astype(jnp.int32)
@@ -108,22 +109,23 @@ def probe(tables: SortedTables, qcodes: jax.Array):
 @functools.partial(jax.jit, static_argnames=("cand_max",))
 def gather_candidates(tables: SortedTables, start: jax.Array,
                       count: jax.Array, cand_max: int):
-    """Gather up to cand_max point ids per (query, table).
+    """Gather up to cand_max point ids per (query, table[, probe]).
 
-    Returns ids (C, T*cand_max) int32 with invalid slots set to N (a sentinel
-    one past the last point), suitable for padded downstream gathers.
+    start/count: (C, T) or (C, T, P).  Returns ids (C, T[*P]*cand_max)
+    int32 with invalid slots set to N (a sentinel one past the last
+    point), suitable for padded downstream gathers.
     """
-    c, t = start.shape
+    c, t = start.shape[0], start.shape[1]
     n = tables.num_points
-    offs = jnp.arange(cand_max, dtype=jnp.int32)             # (M,)
-    pos = start[:, :, None] + offs[None, None, :]            # (C, T, M)
-    valid = offs[None, None, :] < count[:, :, None]
+    offs = jnp.arange(cand_max, dtype=jnp.int32)                  # (M,)
+    pos = start[..., None] + offs                                 # (C, T[, P], M)
+    valid = offs < count[..., None]
     pos = jnp.where(valid, pos, 0)
     # perm is (T, N); gather along N for each table.
     ids = jax.vmap(lambda p, idx: p[idx], in_axes=(0, 1), out_axes=1)(
-        tables.perm, pos)                                    # (C, T, M)
+        tables.perm, pos)                                         # (C, T[, P], M)
     ids = jnp.where(valid, ids, n)
-    return ids.reshape(c, t * cand_max)
+    return ids.reshape(c, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))

@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core import embedding
 from ..lsh import pstable
-from ..ops import segment
+from ..ops import distance, segment
 from ..search import motif
 from . import mesh as mesh_lib
 
@@ -51,6 +51,7 @@ class ShardedMotifIndex:
     db_kmers: jax.Array               # (N, L) int32, sharded P(db, None)
     cand_max: int
     n_points: int                     # true (unpadded) database size
+    max_hits: int = 256               # per-shard hit cap before the merge
 
     @property
     def n_local(self) -> int:
@@ -97,7 +98,7 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     return ShardedMotifIndex(mesh=mesh, params=params,
                              sorted_codes=sorted_codes, perm=perm,
                              db_kmers=km, cand_max=int(cand_max),
-                             n_points=n)
+                             n_points=n, max_hits=config.max_hits)
 
 
 def _search_step(index: ShardedMotifIndex, is_kmers: bool):
@@ -114,15 +115,17 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
     n_total = index.db_kmers.shape[0]
     kmer_len = index.kmer_len
 
+    max_hits = index.max_hits
+
     @functools.partial(
         jax.shard_map, mesh=msh,
         in_specs=(P(None, DB), P(None, DB), P(DB, None), P(DATA, None),
-                  P(), P()),
-        out_specs=(P(DATA, None), P(DATA, None), P(DATA, None)),
-        # outputs are replicated over ``db`` by the trailing all_gather,
+                  P(), P(), P()),
+        out_specs=(P(DATA, None), P(DATA, None), P(DATA)),
+        # outputs are replicated over ``db`` by the trailing all_gather/psum,
         # which the static VMA checker cannot infer
         check_vma=False)
-    def step(sorted_codes, perm, db_local, centers_local, a, b):
+    def step(sorted_codes, perm, db_local, centers_local, a, b, r2):
         p = dataclasses.replace(index.params, a=a, b=b)
         qcodes = pstable.hash_codes(centers_local, p, is_kmers=is_kmers).T
         tabs = segment.SortedTables(sorted_codes=sorted_codes, perm=perm)
@@ -134,17 +137,22 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
         db_pad = jnp.concatenate(
             [db_local, jnp.zeros((1, kmer_len), jnp.int32)], axis=0)
         cand = jnp.take(db_pad, ids, axis=0)                     # (C, M, L)
-        d2 = jnp.take_along_axis(
-            ptab[:, None, :, :], cand[:, :, :, None], axis=3,
-        )[..., 0].sum(axis=2)
-        valid = ids < n_local
+        d2 = distance.ptable_distances(ptab, cand)
+        hits = (ids < n_local) & (d2 <= r2)
+        n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
+        # compact on the shard BEFORE the collective: the all-gather moves
+        # (C, max_hits) verified hits per shard, never raw candidate blocks
+        d2m = jnp.where(hits, d2, jnp.inf)
+        k = min(max_hits, d2m.shape[1])
+        neg, sel = jax.lax.top_k(-d2m, k)
         shard = jax.lax.axis_index(DB).astype(jnp.int32)
-        gids = jnp.where(valid, ids + shard * n_local, n_total)
-        # merge: one all-gather of (C, M) blocks along the candidate axis
+        gids = jnp.where(jnp.isfinite(neg),
+                         jnp.take_along_axis(ids, sel, axis=1)
+                         + shard * n_local, n_total)
         gids = jax.lax.all_gather(gids, DB, axis=1, tiled=True)
-        d2 = jax.lax.all_gather(d2, DB, axis=1, tiled=True)
-        valid = jax.lax.all_gather(valid, DB, axis=1, tiled=True)
-        return gids, d2, valid
+        d2g = jax.lax.all_gather(-neg, DB, axis=1, tiled=True)
+        n_hits = jax.lax.psum(n_hits, DB)
+        return gids, d2g, n_hits
 
     return jax.jit(step)
 
@@ -165,13 +173,18 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
     cdev = jax.device_put(
         blk, NamedSharding(index.mesh, P(DATA, None)))
     step = _search_step(index, is_kmers)
-    gids, d2, valid = step(index.sorted_codes, index.perm, index.db_kmers,
-                           cdev, index.params.a, index.params.b)
+    gids, d2, n_hits = step(index.sorted_codes, index.perm, index.db_kmers,
+                            cdev, index.params.a, index.params.b,
+                            jnp.float32(radius * radius))
     gids = np.asarray(gids)[:c]
     d2 = np.asarray(d2)[:c]
-    hits = np.asarray(valid)[:c] & (d2 <= radius * radius) \
-        & (gids < index.n_points)
-    hc, hm = np.nonzero(hits)
+    truncated = int((np.asarray(n_hits)[:c] > index.max_hits).sum())
+    if truncated:
+        import warnings
+        warnings.warn(
+            f"{truncated} centers exceeded per-shard max_hits="
+            f"{index.max_hits}; nearest hits kept")
+    hc, hm = np.nonzero(gids < index.n_points)
     return (hc.astype(np.int64), gids[hc, hm].astype(np.int64),
             np.sqrt(np.maximum(d2[hc, hm], 0.0)).astype(np.float32))
 

@@ -31,26 +31,67 @@ def _dist_block(centers, db, is_kmers: bool):
     return distance.point_vs_kmer_sq_distance(centers, db)
 
 
+@functools.partial(jax.jit, static_argnames=("is_kmers", "max_hits"))
+def _radius_block_compact(centers, db, r2, is_kmers: bool, max_hits: int):
+    """Distance block + on-device hit compaction (top max_hits by distance).
+
+    Returns (ids (C, k) with sentinel N, d2 (C, k), n_hits (C,)); only the
+    compacted result crosses to the host — essential when the device is a
+    remote TPU and the dense (C, N) block would be transferred otherwise.
+    """
+    d2 = _dist_block(centers, db, is_kmers)
+    n = d2.shape[1]
+    hits = d2 <= r2
+    n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
+    d2m = jnp.where(hits, d2, jnp.inf)
+    k = min(max_hits, n)
+    neg, sel = jax.lax.top_k(-d2m, k)
+    ids = jnp.where(jnp.isfinite(neg), sel, n)
+    return ids, -neg, n_hits
+
+
 def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
-                  center_block: int = 256):
+                  center_block: int = 256, max_hits: int | None = None):
     """All (center, kmer) pairs with embedding distance <= radius.
 
     db_kmers: (N, L) int; centers: (C, L) int k-mers or (C, 8L) real points.
     Returns (center_idx, kmer_idx, dist) int64/int64/float32 host arrays,
     sorted by (center, kmer) — the exact hit set the reference's noLSH tool
     writes as triples.
+
+    With ``max_hits`` set, hits are compacted on device (nearest max_hits
+    per center) and only that block is transferred — use on remote TPUs
+    where moving the dense (C, N) distance matrix dominates wall-clock.
+    A warning reports centers whose true hit count exceeded the cap.
     """
     db = jnp.asarray(db_kmers)
+    n = db_kmers.shape[0]
     is_kmers = centers.ndim == 2 and centers.shape[1] == db_kmers.shape[1] \
         and np.issubdtype(centers.dtype, np.integer)
     r2 = radius * radius
     ci, ki, dd = [], [], []
+    truncated = 0
     for s, blk in _center_blocks(centers, center_block):
-        d2 = np.asarray(_dist_block(jnp.asarray(blk), db, is_kmers))
-        hit_c, hit_k = np.nonzero(d2 <= r2)
-        ci.append(hit_c + s)
-        ki.append(hit_k)
-        dd.append(np.sqrt(d2[hit_c, hit_k]))
+        if max_hits is None:
+            d2 = np.asarray(_dist_block(jnp.asarray(blk), db, is_kmers))
+            hit_c, hit_k = np.nonzero(d2 <= r2)
+            ci.append(hit_c + s)
+            ki.append(hit_k)
+            dd.append(np.sqrt(d2[hit_c, hit_k]))
+        else:
+            ids, d2, n_hits = _radius_block_compact(
+                jnp.asarray(blk), db, jnp.float32(r2), is_kmers, max_hits)
+            ids = np.asarray(ids)
+            d2 = np.asarray(d2)
+            truncated += int((np.asarray(n_hits) > max_hits).sum())
+            hit_c, hit_k = np.nonzero(ids < n)
+            ci.append(hit_c + s)
+            ki.append(ids[hit_c, hit_k].astype(np.int64))
+            dd.append(np.sqrt(np.maximum(d2[hit_c, hit_k], 0.0)))
+    if truncated:
+        import warnings
+        warnings.warn(f"{truncated} centers exceeded max_hits={max_hits}; "
+                      "nearest hits kept")
     if not ci:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float32))

@@ -1,0 +1,250 @@
+"""Block-pruned exact search: the TPU-native fast path.
+
+LSH answers "how do I avoid O(N) work per query on a CPU with pointer
+hash tables".  On a TPU the economics invert: dense scoring rides the MXU
+at ~10^14 FLOP/s, while per-candidate pointer chasing is VPU/HBM-bound —
+so the winning structure is *coarse geometric pruning + dense verify*:
+
+  build:  k-means the embedded k-mer points (Lloyd iterations are one
+          assignment GEMM + one segment-sum per round), sort the database
+          by cell, partition the sorted order into fixed-size blocks, and
+          record each block's centroid and covering radius.
+  query:  one (C, B) GEMM against block centroids; a block can contain a
+          hit iff  d(q, centroid) <= R + block_radius  (triangle
+          inequality) — prune the rest, gather the k_blocks nearest
+          surviving blocks (contiguous (block, L) slices), and verify
+          with exact P-table distances.
+
+Unlike LSH this prunes with a *guarantee*: every point within R lies in a
+surviving block, so recall is exactly 1.0 whenever the per-query survivor
+count fits k_blocks (the search reports overflow otherwise).  This is the
+same search contract as the reference's motif_both_points (all hits
+within R, exact distances; motif_both_points.cpp:224-245) at brute-force
+fidelity and a fraction of brute-force FLOPs.
+
+No reference counterpart — the reference has no IVF; this is the
+TPU-first redesign of its "LSH tables + exact verify" idea (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import embedding
+from ..ops import distance
+from .motif import _center_ptables
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class IVFIndex:
+    """Block-sorted database with per-block bounding balls."""
+
+    db_sorted: jax.Array        # (B, bs, L) int32, cell-sorted + padded
+    order: jax.Array            # (B, bs) int32 original ids, sentinel N
+    block_centroid: jax.Array   # (B, D) f32 embedded block centroids
+    block_radius: jax.Array     # (B,) f32 covering radius per block
+    n_points: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_blocks(self) -> int:
+        return self.db_sorted.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.db_sorted.shape[1]
+
+    @property
+    def kmer_len(self) -> int:
+        return self.db_sorted.shape[2]
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells", "iters", "block"))
+def _kmeans_cells(points: jax.Array, key: jax.Array, n_cells: int,
+                  iters: int, block: int = 65536) -> jax.Array:
+    """Lloyd k-means on (N, D) points -> (N,) cell assignment.
+
+    Assignment distances stream in blocks of N to bound the (block,
+    n_cells) intermediate; centroid updates are one segment-sum.
+    """
+    n, d = points.shape
+    idx = jax.random.choice(key, n, (n_cells,), replace=n < n_cells)
+    centroids = points[idx]
+    pad = (-n) % block
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    blocks = pts.reshape(-1, block, d)
+
+    def assign(centroids):
+        def body(_, blk):
+            d2 = distance.sq_distance_matrix(blk, centroids)
+            return None, jnp.argmin(d2, axis=1).astype(jnp.int32)
+        _, a = jax.lax.scan(body, None, blocks)
+        return a.reshape(-1)[:n]
+
+    def step(centroids, _):
+        a = assign(centroids)
+        sums = jax.ops.segment_sum(points, a, num_segments=n_cells)
+        cnt = jax.ops.segment_sum(jnp.ones((n, 1), jnp.float32), a,
+                                  num_segments=n_cells)
+        new = jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0), centroids)
+        return new, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    return assign(centroids)
+
+
+def build_index(db_kmers: np.ndarray, key: jax.Array,
+                block_size: int = 32, n_cells: int | None = None,
+                kmeans_iters: int = 0) -> IVFIndex:
+    """Sample-assign cells, sort, cut cell-aligned blocks, bound each.
+
+    Cell centers are sampled uniformly from the data (n_cells defaults to
+    N/block_size, so natural clusters of ~block_size points get ~1 center
+    each whp); one blocked assignment GEMM gives cell ids; optional Lloyd
+    iterations refine.  Blocks never span cells — each cell's point list
+    is padded to a block_size multiple — so a dense natural cluster yields
+    tight blocks regardless of how the global sort interleaves cells.  An
+    unsampled cluster merges into a neighbor and merely widens that
+    block's radius: pruning stays exact, only its selectivity degrades
+    (and only for those blocks).
+    """
+    n, l = db_kmers.shape
+    km = jnp.asarray(db_kmers, jnp.int32)
+    pts = jnp.asarray(
+        embedding.embed_kmers(np.asarray(db_kmers)), jnp.float32)
+    if n_cells is None:
+        n_cells = max(1, n // block_size)
+    cells = np.asarray(_kmeans_cells(pts, key, n_cells, kmeans_iters))
+    order = np.argsort(cells, kind="stable").astype(np.int32)
+    sorted_cells = cells[order]
+    # cut cell-aligned blocks: pad each cell's run to a block_size multiple
+    bounds = np.searchsorted(sorted_cells, np.arange(n_cells + 1))
+    rows = []
+    for cid in range(n_cells):
+        run = order[bounds[cid]:bounds[cid + 1]]
+        if run.size == 0:
+            continue
+        pad = (-run.size) % block_size
+        if pad:
+            run = np.concatenate([run, np.full(pad, n, np.int32)])
+        rows.append(run.reshape(-1, block_size))
+    order_blocks = np.concatenate(rows) if rows else \
+        np.full((1, block_size), n, np.int32)
+    b = order_blocks.shape[0]
+
+    km_pad = jnp.concatenate([km, jnp.zeros((1, l), jnp.int32)], axis=0)
+    db_sorted = jnp.take(km_pad, jnp.asarray(order_blocks), axis=0)
+
+    @jax.jit
+    def block_bounds(db_sorted, order_blocks):
+        coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+        emb = jnp.take(coords, db_sorted, axis=0)       # (B, bs, L, 8)
+        emb = emb.reshape(b, block_size, l * coords.shape[1])
+        valid = (order_blocks < n)[:, :, None]          # (B, bs, 1)
+        cnt = jnp.maximum(valid.sum(axis=1), 1)
+        cent = jnp.sum(emb * valid, axis=1) / cnt       # (B, D)
+        d2 = jnp.sum((emb - cent[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid[..., 0], d2, 0.0)
+        return cent, jnp.sqrt(jnp.max(d2, axis=1))
+
+    cent, rad = block_bounds(db_sorted, jnp.asarray(order_blocks))
+    return IVFIndex(db_sorted=db_sorted, order=jnp.asarray(order_blocks),
+                    block_centroid=cent, block_radius=rad, n_points=n)
+
+
+@functools.partial(jax.jit, static_argnames=("k_blocks", "max_hits"))
+def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
+                  r: jax.Array, k_blocks: int, max_hits: int):
+    """One center block: prune blocks, gather survivors, exact verify.
+
+    Returns (ids (C, max_hits) sentinel-N, d2 (C, max_hits), n_hits (C,),
+    n_alive (C,) — surviving-block counts to detect k_blocks overflow).
+    """
+    n = index.n_points
+    bs = index.block_size
+    l = index.kmer_len
+    dblk = jnp.sqrt(distance.sq_distance_matrix(
+        centers_emb, index.block_centroid))                 # (C, B)
+    alive = dblk <= r + index.block_radius[None, :]
+    n_alive = jnp.sum(alive, axis=1).astype(jnp.int32)
+    # nearest k_blocks surviving blocks per center
+    key = jnp.where(alive, dblk, jnp.inf)
+    kb = min(k_blocks, key.shape[1])
+    neg, blk_ids = jax.lax.top_k(-key, kb)                  # (C, kb)
+    blk_alive = jnp.isfinite(neg)
+    safe_ids = jnp.where(blk_alive, blk_ids, 0)
+    cand = jnp.take(index.db_sorted, safe_ids, axis=0)      # (C, kb, bs, L)
+    cand = cand.reshape(-1, kb * bs, l)
+    gids = jnp.take(index.order, safe_ids, axis=0).reshape(-1, kb * bs)
+    gids = jnp.where(jnp.repeat(blk_alive, bs, axis=1), gids, n)
+    ptab = _center_ptables(centers, l)
+    d2 = distance.ptable_distances(ptab, cand)              # (C, kb*bs)
+    hits = (gids < n) & (d2 <= r * r)
+    n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
+    d2m = jnp.where(hits, d2, jnp.inf)
+    k = min(max_hits, d2m.shape[1])
+    negd, sel = jax.lax.top_k(-d2m, k)
+    out_ids = jnp.where(jnp.isfinite(negd),
+                        jnp.take_along_axis(gids, sel, axis=1), n)
+    return out_ids, -negd, n_hits, n_alive
+
+
+def search(index: IVFIndex, centers: np.ndarray, radius: float,
+           k_blocks: int = 64, max_hits: int = 256,
+           center_block: int = 256):
+    """All (center, kmer) pairs within ``radius`` — exact, block-pruned.
+
+    Returns (center_idx, kmer_idx, dist) host arrays, identical contract
+    to search.exact.search_radius / search.motif.search.  Warns when a
+    center's surviving blocks exceeded ``k_blocks`` (recall < 1 for it) or
+    its hits exceeded ``max_hits``.
+    """
+    c_total = centers.shape[0]
+    is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
+    if is_kmers:
+        cemb_all = embedding.embed_kmers(np.asarray(centers))
+    else:
+        cemb_all = np.asarray(centers, np.float32)
+    n = index.n_points
+    ci, ki, dd = [], [], []
+    over_blocks = over_hits = 0
+    for s in range(0, c_total, center_block):
+        blk = np.asarray(centers[s:s + center_block])
+        cemb = cemb_all[s:s + center_block]
+        pad = center_block - blk.shape[0]
+        if pad:
+            blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
+            cemb = np.pad(cemb, ((0, pad), (0, 0)))
+        cblk = jnp.asarray(blk, jnp.int32 if is_kmers else jnp.float32)
+        ids, d2, n_hits, n_alive = _search_block(
+            index, cblk, jnp.asarray(cemb, jnp.float32),
+            jnp.float32(radius), k_blocks, max_hits)
+        ids = np.array(ids)
+        d2 = np.asarray(d2)
+        real = center_block - pad
+        if pad:
+            ids[real:, :] = n
+        over_blocks += int((np.asarray(n_alive)[:real] > k_blocks).sum())
+        over_hits += int((np.asarray(n_hits)[:real] > max_hits).sum())
+        hc, hm = np.nonzero(ids < n)
+        ci.append(hc + s)
+        ki.append(ids[hc, hm].astype(np.int64))
+        dd.append(np.sqrt(np.maximum(d2[hc, hm], 0.0)))
+    import warnings
+    if over_blocks:
+        warnings.warn(f"{over_blocks} centers had more than k_blocks="
+                      f"{k_blocks} surviving blocks; raise k_blocks for "
+                      "guaranteed-exact results")
+    if over_hits:
+        warnings.warn(f"{over_hits} centers exceeded max_hits={max_hits}; "
+                      "nearest hits kept")
+    if not ci:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float32))
+    return (np.concatenate(ci), np.concatenate(ki),
+            np.concatenate(dd).astype(np.float32))

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..core import embedding
 from ..lsh import pstable
-from ..ops import segment
+from ..ops import distance, segment
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +46,15 @@ class MotifSearchConfig:
     radius: float = 200.0
     center_block: int = 128
     cand_max: int | None = None   # None -> max bucket size at build
+    # Per-center hit cap for the on-device compaction (top-k by distance).
+    # Only (center_block, max_hits) crosses to the host instead of the full
+    # (center_block, T*cand_max) candidate arrays — the difference between
+    # kilobytes and hundreds of megabytes per block on a remote TPU.
+    max_hits: int = 256
+    # Multiprobe: probe this many buckets per (center, table) — the home
+    # bucket plus the nearest boundary-flips (lsh.pstable.multiprobe_codes).
+    # probes>1 buys recall at fixed table count with narrow W.
+    probes: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -103,13 +112,16 @@ def _center_ptables(centers: jax.Array, kmer_len: int) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cand_max",))
+@functools.partial(jax.jit, static_argnames=("cand_max", "max_hits"))
 def _probe_verify(index: MotifIndex, centers: jax.Array,
-                  qcodes: jax.Array, r2: jax.Array, cand_max: int):
-    """One center block: probe all tables, dedup, exact-verify.
+                  qcodes: jax.Array, r2: jax.Array, cand_max: int,
+                  max_hits: int = 256):
+    """One center block: probe all tables, dedup, exact-verify, compact.
 
-    Returns (ids (C, T*cand_max) int32 — deduplicated candidate ids with
-    sentinel N for invalid, dist (C, T*cand_max) f32, hit mask).
+    Returns (ids (C, max_hits) int32 hit ids with sentinel N for empty
+    slots, dist (C, max_hits) f32, n_hits (C,) int32 true per-center hit
+    counts before capping).  All filtering happens on device; only the
+    compacted hits are transferred.
     """
     n = index.num_points
     start, count = segment.probe(index.tables, qcodes)
@@ -119,15 +131,16 @@ def _probe_verify(index: MotifIndex, centers: jax.Array,
     # exact distances via P-tables
     ptab = _center_ptables(centers, index.kmer_len)       # (C, L, 20)
     cand = jnp.take(index.db_kmers, ids, axis=0)          # (C, M, L)
-    # d2[c, m] = sum_l ptab[c, l, cand[c, m, l]]
-    d2 = jnp.take_along_axis(
-        ptab[:, None, :, :],                              # (C, 1, L, 20)
-        cand[:, :, :, None],                              # (C, M, L, 1)
-        axis=3,
-    )[..., 0].sum(axis=2)                                 # (C, M)
-    valid = ids < n
-    hits = valid & (d2 <= r2)
-    return ids, d2, hits
+    d2 = distance.ptable_distances(ptab, cand)            # (C, M)
+    hits = (ids < n) & (d2 <= r2)
+    n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
+    # compact: top max_hits by (ascending) distance, misses pushed to +inf
+    d2m = jnp.where(hits, d2, jnp.inf)
+    k = min(max_hits, d2m.shape[1])
+    neg, sel = jax.lax.top_k(-d2m, k)                     # (C, k)
+    hit_ids = jnp.where(jnp.isfinite(neg),
+                        jnp.take_along_axis(ids, sel, axis=1), n)
+    return hit_ids, -neg, n_hits
 
 
 def search(index: MotifIndex, centers: np.ndarray,
@@ -141,29 +154,40 @@ def search(index: MotifIndex, centers: np.ndarray,
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
     r2 = jnp.float32(config.radius * config.radius)
     cb = config.center_block
+    n = index.num_points
     ci_all, ki_all, dd_all = [], [], []
+    truncated = 0
     for s in range(0, centers.shape[0], cb):
         blk = np.asarray(centers[s:s + cb])
         pad = cb - blk.shape[0]
         if pad:
             blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
         cblk = jnp.asarray(blk, jnp.int32 if is_kmers else jnp.float32)
-        if is_kmers:
-            qcodes_tn = pstable.hash_codes(cblk, index.params, is_kmers=True)
+        if config.probes > 1:
+            qcodes = pstable.multiprobe_codes(
+                cblk, index.params, is_kmers, config.probes)
+            qcodes = qcodes.transpose(1, 0, 2)        # (C, T, P)
         else:
-            qcodes_tn = pstable.hash_codes(cblk, index.params, is_kmers=False)
-        qcodes = qcodes_tn.T                              # (C, T)
-        ids, d2, hits = _probe_verify(index, cblk, qcodes, r2,
-                                      index.cand_max)
-        hits = np.array(hits)
-        if pad:
-            hits[cb - pad:, :] = False
-        hc, hm = np.nonzero(hits)
-        ids = np.asarray(ids)
+            qcodes = pstable.hash_codes(cblk, index.params,
+                                        is_kmers=is_kmers).T
+        hit_ids, d2, n_hits = _probe_verify(index, cblk, qcodes, r2,
+                                            index.cand_max, config.max_hits)
+        hit_ids = np.array(hit_ids)   # writable copy: padding rows are masked
         d2 = np.asarray(d2)
+        n_hits = np.asarray(n_hits)
+        if pad:
+            hit_ids[cb - pad:, :] = n
+        truncated += int((n_hits[:cb - pad if pad else cb]
+                          > config.max_hits).sum())
+        hc, hm = np.nonzero(hit_ids < n)
         ci_all.append(hc + s)
-        ki_all.append(ids[hc, hm].astype(np.int64))
+        ki_all.append(hit_ids[hc, hm].astype(np.int64))
         dd_all.append(np.sqrt(np.maximum(d2[hc, hm], 0.0)))
+    if truncated:
+        import warnings
+        warnings.warn(
+            f"{truncated} centers exceeded max_hits={config.max_hits}; "
+            "nearest hits kept, raise config.max_hits for the full set")
     if not ci_all:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float32))

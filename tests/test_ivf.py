@@ -1,0 +1,99 @@
+"""Block-pruned exact engine (search/ivf.py) and multiprobe LSH tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from hsearch_tpu.lsh import pstable
+from hsearch_tpu.search import exact, ivf, motif
+
+
+def _family_db(rng, n, c, l, family_size=32):
+    nfam = max(1, n // family_size)
+    fam = rng.integers(0, 20, (nfam, l), dtype=np.int32)
+    db = fam[rng.integers(0, nfam, n)].copy()
+    flips = rng.poisson(2.0, n).clip(0, l)
+    for i in range(n):
+        if flips[i]:
+            pos = rng.integers(0, l, flips[i])
+            db[i, pos] = rng.integers(0, 20, flips[i])
+    q = fam[rng.choice(nfam, c, replace=False)]
+    return db, q
+
+
+def test_ivf_exact_when_blocks_fit(rng):
+    n, c, l = 2048, 16, 25
+    db, centers = _family_db(rng, n, c, l)
+    radius = 35.0
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
+    # k_blocks = all blocks -> pruning is pure triangle inequality -> exact
+    ci, ki, d = ivf.search(idx, centers, radius,
+                           k_blocks=idx.num_blocks, max_hits=1024)
+    gci, gki, gd = exact.search_radius(db, centers, radius)
+    assert set(zip(ci, ki)) == set(zip(gci, gki))
+    gt = {(a, b): v for a, b, v in zip(gci, gki, gd)}
+    for a, b, v in zip(ci, ki, d):
+        np.testing.assert_allclose(v, gt[(a, b)], atol=1e-2)
+
+
+def test_ivf_capped_blocks_high_recall(rng):
+    n, c, l = 8192, 32, 25
+    db, centers = _family_db(rng, n, c, l)
+    radius = 35.0
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # k_blocks overflow is expected
+        ci, ki, d = ivf.search(idx, centers, radius, k_blocks=64,
+                               max_hits=512)
+    gci, gki, gd = exact.search_radius(db, centers, radius)
+    gt = set(zip(gci, gki))
+    got = set(zip(ci, ki))
+    assert got <= gt                      # never a false positive
+    assert len(got & gt) / max(1, len(gt)) > 0.97
+
+
+def test_ivf_real_point_centers(rng):
+    n, c, l = 1024, 4, 10
+    db, _ = _family_db(rng, n, c, l)
+    from hsearch_tpu.core import embedding
+    centers = embedding.embed_kmers(
+        rng.integers(0, 20, (c, l), dtype=np.int32))
+    radius = 30.0
+    idx = ivf.build_index(db, jax.random.PRNGKey(1), block_size=32)
+    ci, ki, d = ivf.search(idx, centers, radius,
+                           k_blocks=idx.num_blocks, max_hits=1024)
+    gci, gki, gd = exact.search_radius(db, centers, radius)
+    assert set(zip(ci, ki)) == set(zip(gci, gki))
+
+
+def test_multiprobe_improves_recall(rng):
+    n, c, l = 4096, 32, 10
+    db, centers = _family_db(rng, n, c, l)
+    radius = 25.0
+    gci, gki, _ = exact.search_radius(db, centers, radius)
+    gt = set(zip(gci, gki))
+    key = jax.random.PRNGKey(2)
+    recalls = {}
+    for probes in (1, 8):
+        cfg = motif.MotifSearchConfig(hash_k=8, hash_l=4, w=50.0,
+                                      radius=radius, probes=probes)
+        idx = motif.build_index(db, key, cfg)
+        ci, ki, _ = motif.search(idx, centers, cfg)
+        got = set(zip(ci, ki))
+        assert got <= gt
+        recalls[probes] = len(got & gt) / max(1, len(gt))
+    assert recalls[8] > recalls[1]
+
+
+def test_multiprobe_home_bucket_first(rng):
+    """Probe 0 must equal the single-probe hash code."""
+    params = pstable.init(jax.random.PRNGKey(0), 80, 4, 2, 50.0)
+    kmers = rng.integers(0, 20, (16, 10)).astype(np.int32)
+    single = np.asarray(pstable.hash_codes(
+        jax.numpy.asarray(kmers), params, is_kmers=True))
+    multi = np.asarray(pstable.multiprobe_codes(
+        jax.numpy.asarray(kmers), params, True, 8))
+    np.testing.assert_array_equal(multi[:, :, 0], single)
+    # probes are distinct codes
+    assert (multi[:, :, 1:] != multi[:, :, :1]).all()
