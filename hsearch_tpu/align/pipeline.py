@@ -1,0 +1,318 @@
+"""Protein search pipeline: seed index -> batched extension -> statistics
+-> ranked hits with m8/aln output.
+
+The TPU-native re-architecture of CHashSearch::ProteinSearching /
+Searching / ExtendSeq2Set / CalRes / SumEvalue / PrintRes
+(hash_search.cpp:263-1308): probing and extension are device-batched over
+every seed of a query at once; hit bookkeeping, Karlin-Altschul
+statistics, and output stay on host (they run once per query over a few
+dozen survivors).
+
+Reference quirks intentionally not reproduced (SURVEY §7):
+  * the debug ``cout << "xx"`` in the hot path (hash_search.cpp:456);
+  * the ``1848 * nFac`` subject-coordinate offset for duplicated names
+    (:1155-1160);
+  * two *different* unknown residues comparing as a "match" (:34).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import alphabet
+from . import blast_stat, extend, seed_index
+
+SUMHSP_OVERLAP = 10       # paras.hpp:15
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    """pcluster.cpp:113-119 defaults."""
+
+    evalue_threshold: float = 10.0    # dThr
+    max_aln_per_query: int = 100      # nMaxAlnPer
+    max_m8_per_query: int = 500       # nMaxHitPer
+    min_length: int = 0               # nMinLen
+    cand_max: int = 256               # per-probe candidate cap (device)
+    pair_batch: int = 8192            # extension lanes per device call
+
+
+@dataclasses.dataclass
+class Hit:
+    """One reported alignment (CHitUnit fields, hit_unit.hpp:6-34)."""
+
+    query: int
+    subject: int
+    score: int
+    bits: float
+    evalue: float
+    identity: float
+    aln_len: int
+    mismatch: int
+    gap_open: int
+    q_beg: int          # 1-based inclusive
+    q_end: int
+    d_beg: int
+    d_end: int
+    q_aln: str = ""
+    d_aln: str = ""
+    info: str = ""
+
+
+class ProteinSearcher:
+    """Seed-extend search of query proteins against a protein DB.
+
+    db: object with ``names`` (list), ``seq`` (concatenated AA indices)
+    and ``starts`` ((P+1,) offsets) — core.io.ProteinDB.
+    """
+
+    def __init__(self, db, params: SearchParams = SearchParams(),
+                 subset: np.ndarray | None = None):
+        self.db = db
+        self.params = params
+        self.subset = subset
+        if subset is None:
+            seq, starts, self.ids = np.asarray(db.seq), \
+                np.asarray(db.starts), np.arange(len(db.names))
+        else:
+            # compact the subset into its own concatenated array
+            # (BuildProteinsIndex indexes only the group's proteins,
+            # hash_search.cpp:164-261)
+            self.ids = np.asarray(subset)
+            parts = [np.asarray(db.protein(i)) for i in self.ids]
+            seq = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+            starts = np.zeros(len(parts) + 1, np.int64)
+            np.cumsum([len(p) for p in parts], out=starts[1:])
+        self.seq = np.asarray(seq, np.int32)
+        self.starts = np.asarray(starts, np.int64)
+        self.index = seed_index.build_index(self.seq, self.starts)
+        total_aa = int(self.starts[-1])
+        self.stat = blast_stat.BlastStat(float(total_aa), len(self.ids),
+                                         gapped=True)
+        self.cutoffs = blast_stat.DEFAULT_CUTOFFS
+
+    # -- internals --------------------------------------------------------
+    def _pairs_for_query(self, qseq: np.ndarray):
+        """All (qpos, dpos) candidate seed pairs for one query sequence."""
+        q = jnp.asarray(qseq, jnp.int32)
+        qstarts = jnp.asarray(np.array([0, len(qseq)]), jnp.int32)
+        codes, valid = seed_index.query_probe_codes(q, qstarts)
+        # query group at seed position + 9 (4th suffix residue)
+        g = np.asarray(seed_index._GROUP21)[np.minimum(qseq, 20)]
+        off = seed_index.MER + seed_index.NARROW
+        qgrp10 = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
+        cand = seed_index.probe(self.index, codes,
+                                jnp.asarray(qgrp10, jnp.int32),
+                                self.params.cand_max)
+        cand = np.asarray(cand)
+        valid = np.asarray(valid)
+        qpos, slot = np.nonzero((cand >= 0) & valid[:, None])
+        dpos = cand[qpos, slot]
+        if dpos.size == 0:
+            return qpos.astype(np.int64), dpos.astype(np.int64)
+        # drop subjects without the full 10-residue local seed
+        # (hash_search.cpp:538-540)
+        pid = np.searchsorted(self.starts, dpos, side="right") - 1
+        ok = self.starts[pid + 1] - dpos >= seed_index.SEED_LEN
+        # drop duplicate (qpos, dpos) pairs from multi-probe overlap
+        key = qpos[ok].astype(np.int64) * len(self.seq) + dpos[ok]
+        _, first = np.unique(key, return_index=True)
+        return qpos[ok][first], dpos[ok][first]
+
+    def _extend(self, qseq: np.ndarray, qpos: np.ndarray, dpos: np.ndarray):
+        """Batched device extension; returns host dict of result arrays."""
+        p = self.params
+        drop = jnp.int32(round(self.cutoffs.ungap_ext_drop))
+        pid = np.searchsorted(self.starts, dpos, side="right") - 1
+        dlo = self.starts[pid]
+        dhi = self.starts[pid + 1]
+        out = {k: [] for k in ("score", "match", "q_beg", "q_end",
+                               "d_beg", "d_end")}
+        subj = []
+        qdev = jnp.asarray(qseq, jnp.int32)
+        ddev = self.index.seq
+        for s in range(0, qpos.shape[0], p.pair_batch):
+            qp = qpos[s:s + p.pair_batch]
+            dp = dpos[s:s + p.pair_batch]
+            pad = p.pair_batch - qp.shape[0]
+            res = extend.extend_pairs(
+                qdev, ddev,
+                jnp.asarray(np.pad(qp, (0, pad)), jnp.int32),
+                jnp.asarray(np.pad(dp, (0, pad)), jnp.int32),
+                jnp.zeros(p.pair_batch, jnp.int32),
+                jnp.full(p.pair_batch, len(qseq), jnp.int32),
+                jnp.asarray(np.pad(dlo[s:s + p.pair_batch], (0, pad)),
+                            jnp.int32),
+                jnp.asarray(np.pad(dhi[s:s + p.pair_batch], (0, pad)),
+                            jnp.int32),
+                drop, seed_index.SEED_LEN)
+            n_real = qp.shape[0]
+            for k in out:
+                out[k].append(np.asarray(res[k])[:n_real])
+            subj.append(pid[s:s + p.pair_batch][:n_real])
+        return ({k: np.concatenate(v) if v else np.zeros(0, np.int64)
+                 for k, v in out.items()},
+                np.concatenate(subj) if subj else np.zeros(0, np.int64))
+
+    def _assemble(self, query_idx: int, qseq: np.ndarray, res, subj):
+        """CalRes + SumEvalue + ranking (hash_search.cpp:950-1273)."""
+        cut = self.cutoffs
+        st = self.stat
+        st.set_query(len(qseq))
+        keep = (res["score"] >= cut.ungap_ext_cut) & \
+               (res["match"] >= cut.min_match_for_expect)
+        best: dict[tuple, Hit] = {}
+        for i in np.nonzero(keep)[0]:
+            score = int(res["score"][i])
+            ev = st.raw_to_expect(score)
+            if score < 30 and ev > self.params.evalue_threshold:
+                continue          # SUMHSP_MINRAWSCORE gate (:971-973)
+            qb, qe = int(res["q_beg"][i]), int(res["q_end"][i])
+            dbg, de = int(res["d_beg"][i]), int(res["d_end"][i])
+            sj = int(subj[i])
+            k = (sj, qb, qe, dbg, de)
+            if k in best and best[k].evalue <= ev:
+                continue
+            aln_len = qe - qb
+            match = int(res["match"][i])
+            dlo = int(self.starts[sj])
+            q_str = alphabet.decode(qseq[qb:qe])
+            d_str = alphabet.decode(self.seq[dbg:de])
+            info = "".join(
+                a if a == b_ else ("+" if _pos_score(a, b_) > 0 else " ")
+                for a, b_ in zip(q_str, d_str))
+            best[k] = Hit(
+                query=query_idx, subject=int(self.ids[sj]), score=score,
+                bits=st.raw_to_bits(score), evalue=ev,
+                identity=match * 100.0 / max(aln_len, 1),
+                aln_len=aln_len, mismatch=aln_len - match, gap_open=0,
+                q_beg=qb + 1, q_end=qe, d_beg=dbg - dlo + 1,
+                d_end=de - dlo, q_aln=q_str, d_aln=d_str, info=info)
+        hits = sorted(best.values(), key=lambda h: (h.subject, h.evalue))
+        # per-subject sum statistics over non-overlapping HSPs (:1199-1273)
+        out: list[Hit] = []
+        i = 0
+        while i < len(hits):
+            j = i
+            while j < len(hits) and hits[j].subject == hits[i].subject:
+                j += 1
+            group = hits[i:j]
+            if len(group) > 1:
+                group = self._sum_evalue(group)
+            out.extend(group)
+            i = j
+        out = [h for h in out if h.evalue <= self.params.evalue_threshold]
+        out.sort(key=lambda h: h.evalue)
+        return out[:max(self.params.max_m8_per_query,
+                        self.params.max_aln_per_query)]
+
+    def _sum_evalue(self, group: list[Hit]) -> list[Hit]:
+        """SumEvalue (hash_search.cpp:1199-1273): combine non-overlapping
+        HSPs on one subject into a sum-statistics e-value."""
+        group = sorted(group, key=lambda h: h.evalue)
+        chosen: list[Hit] = [group[0]]
+        for h in group[1:]:
+            half = (h.q_end - h.q_beg + 1) >> 1
+            ov = min(SUMHSP_OVERLAP, half)
+            if h.evalue >= 1 and h.score <= 30:
+                continue
+            overlaps = any(
+                (h.q_beg <= c.q_end - ov and h.q_end >= c.q_beg + ov)
+                or (c.q_beg <= h.q_end - ov and c.q_end >= h.q_beg + ov)
+                for c in chosen)
+            if not overlaps:
+                chosen.append(h)
+        if len(chosen) == 1:
+            return chosen if chosen[0].evalue <= \
+                self.params.evalue_threshold else []
+        scores = [h.score for h in chosen[:5]]   # DEFAULT_SCORE_TOP
+        subject_len = self._subject_len(chosen[0].subject)
+        ev = self.stat.sum_score_to_expect(scores, subject_len)
+        if ev < self.params.evalue_threshold:
+            for h in chosen:
+                h.evalue = ev
+            return chosen
+        return []
+
+    def _subject_len(self, subject_id: int) -> int:
+        local = int(np.nonzero(self.ids == subject_id)[0][0])
+        return int(self.starts[local + 1] - self.starts[local])
+
+    # -- public -----------------------------------------------------------
+    def search_sequence(self, qseq: np.ndarray,
+                        query_idx: int = 0) -> list[Hit]:
+        """Hits of one query sequence (AA indices) against the DB."""
+        qseq = np.asarray(qseq, np.int32)
+        if len(qseq) < seed_index.MER:
+            return []
+        qpos, dpos = self._pairs_for_query(qseq)
+        if qpos.size == 0:
+            return []
+        res, subj = self._extend(qseq, qpos, dpos)
+        return self._assemble(query_idx, qseq, res, subj)
+
+    def search_all(self) -> list[Hit]:
+        """Every indexed protein as query (ProteinSearching,
+        hash_search.cpp:263-289)."""
+        out = []
+        for local, gid in enumerate(self.ids):
+            qseq = self.seq[self.starts[local]:self.starts[local + 1]]
+            out.extend(self.search_sequence(qseq, query_idx=int(gid)))
+        return out
+
+
+def _pos_score(a: str, b: str) -> int:
+    from ..core import blosum
+    ia, ib = alphabet.encode(a)[0], alphabet.encode(b)[0]
+    if ia >= 20 or ib >= 20:
+        return extend.NEGSCORE
+    return int(blosum.BLOSUM62[ia, ib])
+
+
+def write_m8(path_or_file, hits: list[Hit], names_q, names_d) -> None:
+    """blast -m8 tabular output (PrintM8, hash_search.cpp:1275-1300)."""
+    close = False
+    f = path_or_file
+    if isinstance(path_or_file, str):
+        f = open(path_or_file, "w")
+        close = True
+    try:
+        for h in hits:
+            if h.evalue < 0.01:
+                ev = f"{h.evalue:.1e}"
+            elif h.evalue < 10.0:
+                ev = f"{h.evalue:.2f}"
+            else:
+                ev = f"{h.evalue:.0f}"
+            f.write(f"{names_q[h.query]}\t{names_d[h.subject]}\t"
+                    f"{h.identity:.1f}\t{h.aln_len}\t{h.mismatch}\t"
+                    f"{h.gap_open}\t{h.q_beg}\t{h.q_end}\t{h.d_beg}\t"
+                    f"{h.d_end}\t{ev}\t{h.bits:.1f}\n")
+    finally:
+        if close:
+            f.close()
+
+
+def write_aln(path_or_file, hits: list[Hit], names_q, names_d) -> None:
+    """Readable alignment output (PrintAln, hash_search.cpp:1253-1273)."""
+    close = False
+    f = path_or_file
+    if isinstance(path_or_file, str):
+        f = open(path_or_file, "w")
+        close = True
+    try:
+        for h in hits:
+            f.write(f"{names_q[h.query]} vs {names_d[h.subject]} "
+                    f"bits={h.bits:.5g} E-value={h.evalue:.5g} "
+                    f"identity={h.identity:.5g}% aln-len={h.aln_len} "
+                    f"mismatch={h.mismatch} gap-openings={h.gap_open}\n")
+            f.write(f"Query:\t{h.q_aln}\n      \t{h.info}\n"
+                    f"Sbjct:\t{h.d_aln}\n\n")
+    finally:
+        if close:
+            f.close()

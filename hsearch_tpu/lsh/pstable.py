@@ -5,7 +5,7 @@ projection vectors a_k ~ N(0, I) and offsets b_k ~ U[0, W); the bucket index
 of point x along k is floor((a_k . x + b_k) / W); a point's bucket code is
 the K-tuple.  The reference concatenates the indices as a *string*
 (lsh.hpp:51-59) and seeds from random_device per instance (lsh.hpp:19-20);
-here codes are packed int64 (ops/segment.py) and parameters come from a jax
+here codes are packed int32 (ops/segment.py; TPU lanes are 32-bit) and parameters come from a jax
 PRNG key, so runs are reproducible.
 
 Projections of all N points are one (N, D) @ (D, T*K) GEMM.  For integer
@@ -32,7 +32,7 @@ class PStableParams:
     a: jax.Array          # (T, D, K) f32 projection vectors
     b: jax.Array          # (T, K) f32 offsets in [0, W)
     w: float = dataclasses.field(metadata=dict(static=True))
-    pack_bits: int = dataclasses.field(metadata=dict(static=True), default=16)
+    pack_bits: int = dataclasses.field(metadata=dict(static=True), default=7)
 
     @property
     def num_tables(self) -> int:
@@ -111,7 +111,7 @@ def bucket_indices_kmers(kmers: jax.Array,
 
 def hash_codes(points_or_kmers: jax.Array, params: PStableParams,
                is_kmers: bool) -> jax.Array:
-    """-> (T, N) packed int64 bucket codes."""
+    """-> (T, N) packed int32 bucket codes."""
     if is_kmers:
         idx = bucket_indices_kmers(points_or_kmers, params)
     else:

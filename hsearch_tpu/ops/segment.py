@@ -3,9 +3,9 @@
 The reference keeps LSH tables as ``unordered_map<string, vector<id>>``
 (motif_both_points.cpp:25, lsh.hpp:51-59).  On TPU a "hash table" is:
 
-    codes   (T, N) int64   packed bucket code per point per table
+    codes   (T, N) int32   packed bucket code per point per table
     perm    (T, N) int32   argsort of each table's codes
-    sorted  (T, N) int64   codes[perm]
+    sorted  (T, N) int32   codes[perm]
 
 Bucket membership queries become ``searchsorted`` pairs and contiguous
 gathers from ``perm`` — fully vectorized, no dynamic shapes.
@@ -20,46 +20,49 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# splitmix64-style odd multiplier for code mixing.
-_MIX_MULT = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as int64
-_MIX_XOR = np.int64(0x2545F4914F6CDD1D)
+# 32-bit odd mixing multiplier (golden-ratio; TPU lanes are 32-bit, and
+# the default JAX config truncates explicit int64 to int32 — all packing
+# is therefore honestly 32-bit).
+_MIX_MULT = np.int32(-1640531527)   # 0x9E3779B9
+_MIX_XOR = np.int32(0x45D9F3B)
 
 
-def pack_codes_exact(buckets: jax.Array, bits: int = 16) -> jax.Array:
-    """(..., K) int32 bucket indices -> (...,) int64, exact for K*bits <= 64.
+def pack_codes_exact(buckets: jax.Array, bits: int = 7) -> jax.Array:
+    """(..., K) int32 bucket indices -> (...,) int32, exact for K*bits <= 31.
 
     Replaces the reference's string-concatenation hash key (lsh.hpp:51-59)
     with a collision-free fixed-width packing.  Bucket indices are clipped
-    to the signed ``bits`` range (with W=50 projections span only a few
-    buckets; the clip is pure safety).
+    to the signed ``bits`` range (with W=50 projections span ~±10 buckets;
+    the clip is pure safety).
     """
     k = buckets.shape[-1]
-    if k * bits > 64:
-        raise ValueError(f"K={k} bucket indices do not fit 64 bits exactly; "
+    if k * bits > 31:
+        raise ValueError(f"K={k} x {bits}-bit indices do not fit 31 bits; "
                          "use pack_codes_mixed")
     lim = 1 << (bits - 1)
-    b = jnp.clip(buckets, -lim, lim - 1).astype(jnp.int64) + lim
-    out = jnp.zeros(buckets.shape[:-1], jnp.int64)
+    b = jnp.clip(buckets, -lim, lim - 1).astype(jnp.int32) + lim
+    out = jnp.zeros(buckets.shape[:-1], jnp.int32)
     for i in range(k):
         out = (out << bits) | b[..., i]
     return out
 
 
 def pack_codes_mixed(buckets: jax.Array) -> jax.Array:
-    """(..., K) int32 -> (...,) int64 mixing hash (for K*16 > 64).
+    """(..., K) int32 -> (...,) int32 mixing hash (for K*bits > 31).
 
     Collisions merge buckets, which only adds verification candidates —
-    never drops a true near neighbor (exactness comes from the verify pass).
+    never drops a true near neighbor (exactness comes from the verify
+    pass, and multiprobe neighbors hash through the same function).
     """
-    h = jnp.full(buckets.shape[:-1], jnp.int64(0x12345678))
+    h = jnp.full(buckets.shape[:-1], jnp.int32(0x12345678))
     for i in range(buckets.shape[-1]):
-        h = h * _MIX_MULT + buckets[..., i].astype(jnp.int64)
-        h = h ^ (h >> 29) ^ _MIX_XOR
+        h = h * _MIX_MULT + buckets[..., i].astype(jnp.int32)
+        h = h ^ ((h >> 15) & 0x1FFFF) ^ _MIX_XOR
     return h
 
 
-def pack_codes(buckets: jax.Array, bits: int = 16) -> jax.Array:
-    if buckets.shape[-1] * bits <= 64:
+def pack_codes(buckets: jax.Array, bits: int = 7) -> jax.Array:
+    if buckets.shape[-1] * bits <= 31:
         return pack_codes_exact(buckets, bits)
     return pack_codes_mixed(buckets)
 
@@ -69,7 +72,7 @@ def pack_codes(buckets: jax.Array, bits: int = 16) -> jax.Array:
 class SortedTables:
     """Multi-table sorted-code index over N points."""
 
-    sorted_codes: jax.Array   # (T, N) int64
+    sorted_codes: jax.Array   # (T, N) int32
     perm: jax.Array           # (T, N) int32
 
     @property
@@ -85,7 +88,7 @@ class SortedTables:
 def build_tables(codes: jax.Array) -> SortedTables:
     """(T, N) packed codes -> SortedTables (one argsort per table)."""
     perm = jnp.argsort(codes, axis=1).astype(jnp.int32)
-    sorted_codes = jnp.take_along_axis(codes, perm.astype(jnp.int64), axis=1)
+    sorted_codes = jnp.take_along_axis(codes, perm, axis=1)
     return SortedTables(sorted_codes=sorted_codes, perm=perm)
 
 

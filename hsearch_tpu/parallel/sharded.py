@@ -46,7 +46,7 @@ class ShardedMotifIndex:
 
     mesh: jax.sharding.Mesh
     params: pstable.PStableParams     # replicated
-    sorted_codes: jax.Array           # (T, N) int64, sharded P(None, db)
+    sorted_codes: jax.Array           # (T, N) int32, sharded P(None, db)
     perm: jax.Array                   # (T, N) int32 local ids, P(None, db)
     db_kmers: jax.Array               # (N, L) int32, sharded P(db, None)
     cand_max: int

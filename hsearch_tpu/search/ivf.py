@@ -66,7 +66,7 @@ class IVFIndex:
 
 @functools.partial(jax.jit, static_argnames=("n_cells", "iters", "block"))
 def _kmeans_cells(points: jax.Array, key: jax.Array, n_cells: int,
-                  iters: int, block: int = 65536) -> jax.Array:
+                  iters: int, block: int = 8192) -> jax.Array:
     """Lloyd k-means on (N, D) points -> (N,) cell assignment.
 
     Assignment distances stream in blocks of N to bound the (block,
@@ -140,17 +140,34 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     km_pad = jnp.concatenate([km, jnp.zeros((1, l), jnp.int32)], axis=0)
     db_sorted = jnp.take(km_pad, jnp.asarray(order_blocks), axis=0)
 
+    # bound each block, scanning in chunks so the (chunk, bs, D) embedding
+    # intermediate stays small (the unchunked form OOMs at millions of rows)
+    bchunk = 4096
+    bpad = (-b) % bchunk
+
     @jax.jit
     def block_bounds(db_sorted, order_blocks):
         coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
-        emb = jnp.take(coords, db_sorted, axis=0)       # (B, bs, L, 8)
-        emb = emb.reshape(b, block_size, l * coords.shape[1])
-        valid = (order_blocks < n)[:, :, None]          # (B, bs, 1)
-        cnt = jnp.maximum(valid.sum(axis=1), 1)
-        cent = jnp.sum(emb * valid, axis=1) / cnt       # (B, D)
-        d2 = jnp.sum((emb - cent[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(valid[..., 0], d2, 0.0)
-        return cent, jnp.sqrt(jnp.max(d2, axis=1))
+        dbp = jnp.concatenate(
+            [db_sorted, jnp.zeros((bpad, block_size, l), jnp.int32)])
+        obp = jnp.concatenate(
+            [order_blocks, jnp.full((bpad, block_size), n, jnp.int32)])
+        dbp = dbp.reshape(-1, bchunk, block_size, l)
+        obp = obp.reshape(-1, bchunk, block_size)
+
+        def body(_, args):
+            db_c, ob_c = args
+            emb = jnp.take(coords, db_c, axis=0)
+            emb = emb.reshape(bchunk, block_size, l * coords.shape[1])
+            valid = (ob_c < n)[:, :, None]
+            cnt = jnp.maximum(valid.sum(axis=1), 1)
+            cent = jnp.sum(emb * valid, axis=1) / cnt
+            d2 = jnp.sum((emb - cent[:, None, :]) ** 2, axis=-1)
+            d2 = jnp.where(valid[..., 0], d2, 0.0)
+            return None, (cent, jnp.sqrt(jnp.max(d2, axis=1)))
+
+        _, (cent, rad) = jax.lax.scan(body, None, (dbp, obp))
+        return cent.reshape(-1, cent.shape[-1])[:b], rad.reshape(-1)[:b]
 
     cent, rad = block_bounds(db_sorted, jnp.asarray(order_blocks))
     return IVFIndex(db_sorted=db_sorted, order=jnp.asarray(order_blocks),

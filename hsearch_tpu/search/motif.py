@@ -8,7 +8,7 @@ Pipeline (reference: Search(), motif_both_points.cpp:195-250):
 
 TPU mapping:
   * hashing      = one fused gather-GEMM over the integer k-mer database
-  * table build  = per-table argsort of packed int64 codes
+  * table build  = per-table argsort of packed int32 codes
   * probe        = vmapped searchsorted
   * verify       = per-center-position 20-way lookup tables ("P-tables"):
                    P[c, l, aa] = ||center_c[l] - coords[aa]||^2, so a

@@ -1,0 +1,205 @@
+"""Alignment engine tests: scalar oracle vs batched device kernels.
+
+The oracle below re-implements the reference's scalar extension semantics
+(hash_search.cpp:528-716) directly in Python; the device kernels must
+agree exactly on random data — the paired-oracle test pattern of
+SURVEY §4.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hsearch_tpu.align import blast_stat, extend, pipeline, reduced, seed_index
+from hsearch_tpu.core import blosum
+
+MIN_SCORE = -20
+
+
+def _sub(a, b):
+    if a >= 20 or b >= 20:
+        return -5
+    return int(blosum.BLOSUM62[a, b])
+
+
+def _grp(a):
+    return int(reduced.MURPHY10[a]) if a < 20 else 10
+
+
+def oracle_extend_full(q, d, qpos, dpos, qlo, qhi, dlo, dhi, drop,
+                       seed_len=10):
+    score = match = 0
+    for i in range(seed_len):
+        score += _sub(q[qpos + i], d[dpos + i])
+        if q[qpos + i] == d[dpos + i] and q[qpos + i] < 20:
+            match += 1
+    local = seed_len
+    i = seed_len
+    while (qpos + i < qhi and dpos + i < dhi
+           and _grp(q[qpos + i]) == _grp(d[dpos + i])
+           and _grp(q[qpos + i]) < 10):
+        score += _sub(q[qpos + i], d[dpos + i])
+        if q[qpos + i] == d[dpos + i] and q[qpos + i] < 20:
+            match += 1
+        local += 1
+        i += 1
+    qs, ds = qpos, dpos
+    i = -1
+    while (qs + i >= qlo and ds + i >= dlo
+           and _grp(q[qs + i]) == _grp(d[ds + i]) and _grp(q[qs + i]) < 10):
+        score += _sub(q[qs + i], d[ds + i])
+        if q[qs + i] == d[ds + i] and q[qs + i] < 20:
+            match += 1
+        qs -= 1
+        ds -= 1
+        local += 1
+
+    def xdrop(qstart, dstart, limit, score0, sign):
+        s = maxs = score0
+        best_ext = best_match = ma = li = 0
+        while li < limit and s >= MIN_SCORE and s >= maxs - drop:
+            qi, di = qstart + sign * li, dstart + sign * li
+            s += _sub(q[qi], d[di])
+            if q[qi] == d[di] and q[qi] < 20:
+                ma += 1
+            li += 1
+            if s > maxs:
+                maxs, best_ext, best_match = s, li, ma
+        return maxs - score0, best_ext, best_match
+
+    f_lim = max(0, min(qhi - (qs + local), dhi - (ds + local)))
+    fs, fe, fm = xdrop(qs + local, ds + local, f_lim, score, +1)
+    b_lim = max(0, min(qs - qlo, ds - dlo))
+    bs_, be, bm = xdrop(qs - 1, ds - 1, b_lim, score, -1)
+    return dict(score=score + fs + bs_, match=match + fm + bm,
+                q_beg=qs - be, q_end=qs + local + fe,
+                d_beg=ds - be, d_end=ds + local + fe)
+
+
+def test_extend_pairs_matches_oracle(rng):
+    sq, sd = 400, 600
+    q = rng.integers(0, 20, sq).astype(np.int32)
+    d = rng.integers(0, 20, sd).astype(np.int32)
+    # plant homologous region so extensions actually run
+    d[100:180] = q[50:130]
+    d[140] = (d[140] + 1) % 20
+    drop = 9
+    pairs = []
+    for _ in range(64):
+        qp = int(rng.integers(0, sq - 12))
+        dp = int(rng.integers(0, sd - 12))
+        pairs.append((qp, dp))
+    pairs += [(55, 105), (60, 110), (100, 150)]   # homologous seeds
+    qpos = np.array([p[0] for p in pairs], np.int32)
+    dpos = np.array([p[1] for p in pairs], np.int32)
+    b = len(pairs)
+    res = extend.extend_pairs(
+        jnp.asarray(q), jnp.asarray(d), jnp.asarray(qpos), jnp.asarray(dpos),
+        jnp.zeros(b, jnp.int32), jnp.full(b, sq, jnp.int32),
+        jnp.zeros(b, jnp.int32), jnp.full(b, sd, jnp.int32),
+        jnp.int32(drop), 10)
+    for i, (qp, dp) in enumerate(pairs):
+        want = oracle_extend_full(q, d, qp, dp, 0, sq, 0, sd, drop)
+        for k in ("score", "match", "q_beg", "q_end", "d_beg", "d_end"):
+            assert int(np.asarray(res[k])[i]) == want[k], \
+                (k, qp, dp, int(np.asarray(res[k])[i]), want[k])
+
+
+def test_seed_index_probe_matches_bruteforce(rng):
+    # db of several proteins; probes must return exactly the positions
+    # whose murphy10 6-mer matches and whose available suffix agrees
+    lens = [30, 17, 45, 9]
+    seqs = [rng.integers(0, 20, n).astype(np.int32) for n in lens]
+    seq = np.concatenate(seqs)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    idx = seed_index.build_index(seq, starts)
+
+    qseq = rng.integers(0, 20, 40).astype(np.int32)
+    qseq[5:15] = seq[0:10]          # guarantee at least one match
+    codes, valid = seed_index.query_probe_codes(
+        jnp.asarray(qseq), jnp.asarray([0, 40], jnp.int32))
+    g = np.asarray(seed_index._GROUP21)[np.minimum(qseq, 20)]
+    off = seed_index.MER + seed_index.NARROW
+    qgrp10 = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
+    cand = np.asarray(seed_index.probe(
+        idx, codes, jnp.asarray(qgrp10, jnp.int32), cand_max=64))
+    valid = np.asarray(valid)
+
+    red = reduced.reduce_seq(seq)
+    qred = reduced.reduce_seq(qseq)
+    for qp in range(40):
+        got = set(cand[qp][cand[qp] >= 0]) if valid[qp] else set()
+        want = set()
+        if qp + 10 <= 40 and (qred[qp:qp + 10] < 10).all():
+            for pid in range(len(lens)):
+                lo, hi = starts[pid], starts[pid + 1]
+                for dp in range(lo, hi - 5):
+                    if (red[dp:dp + 6] == qred[qp:qp + 6]).all():
+                        m = min(4, hi - (dp + 6))
+                        if (red[dp + 6:dp + 6 + m]
+                                == qred[qp + 6:qp + 6 + m]).all():
+                            want.add(dp)
+        assert got == want, (qp, got, want)
+
+
+def test_blast_stat_basics():
+    st = blast_stat.BlastStat(1e6, 1000, gapped=True)
+    st.set_query(300)
+    assert st.raw_to_bits(100) == pytest.approx(
+        (0.267 * 100 - np.log(0.041)) / np.log(2))
+    e1 = st.raw_to_expect(50)
+    e2 = st.raw_to_expect(100)
+    assert e2 < e1                      # higher score -> lower e-value
+    # effective lengths shrink with the adjustment
+    assert st.e_query_len < 300
+    assert st.e_db_len < 1e6
+    # sum statistics of two strong HSPs beats either alone
+    ev, ev_sum = st.raw_to_expect(60), st.sum_score_to_expect([60, 60], 500)
+    assert ev_sum < ev
+
+
+def test_pipeline_finds_homologs(rng):
+    from hsearch_tpu.core import io as hio
+    # family of 3 related proteins + 3 unrelated
+    base = rng.integers(0, 20, 120).astype(np.int32)
+    seqs = []
+    for i in range(3):
+        s = base.copy()
+        pos = rng.integers(0, 120, 8)
+        s[pos] = rng.integers(0, 20, 8)
+        seqs.append(s)
+    for i in range(3):
+        seqs.append(rng.integers(0, 20, 100).astype(np.int32))
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=[f"p{i}" for i in range(6)],
+                       seq=np.concatenate(seqs), starts=starts)
+    searcher = pipeline.ProteinSearcher(db)
+    hits = searcher.search_sequence(seqs[0], query_idx=0)
+    subjects = {h.subject for h in hits}
+    assert {0, 1, 2} <= subjects        # self + the two homologs
+    self_hit = [h for h in hits if h.subject == 0][0]
+    assert self_hit.identity == pytest.approx(100.0)
+    assert self_hit.aln_len == 120
+    hom = [h for h in hits if h.subject == 1][0]
+    assert hom.evalue < 1e-10
+    assert hom.aln_len > 60
+    # m8 output writes one line per hit
+    import io as pyio
+    buf = pyio.StringIO()
+    pipeline.write_m8(buf, hits, db.names, db.names)
+    assert len(buf.getvalue().splitlines()) == len(hits)
+
+
+def test_pipeline_subset_group(rng):
+    from hsearch_tpu.core import io as hio
+    seqs = [rng.integers(0, 20, 80).astype(np.int32) for _ in range(5)]
+    seqs[3] = seqs[1].copy()            # 3 duplicates 1
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=[f"p{i}" for i in range(5)],
+                       seq=np.concatenate(seqs), starts=starts)
+    searcher = pipeline.ProteinSearcher(db, subset=np.array([1, 3]))
+    hits = searcher.search_all()
+    # both group members hit each other with global ids preserved
+    pairs = {(h.query, h.subject) for h in hits}
+    assert (1, 3) in pairs and (3, 1) in pairs
