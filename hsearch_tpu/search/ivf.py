@@ -123,18 +123,16 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     order = np.argsort(cells, kind="stable").astype(np.int32)
     sorted_cells = cells[order]
     # cut cell-aligned blocks: pad each cell's run to a block_size multiple
-    bounds = np.searchsorted(sorted_cells, np.arange(n_cells + 1))
-    rows = []
-    for cid in range(n_cells):
-        run = order[bounds[cid]:bounds[cid + 1]]
-        if run.size == 0:
-            continue
-        pad = (-run.size) % block_size
-        if pad:
-            run = np.concatenate([run, np.full(pad, n, np.int32)])
-        rows.append(run.reshape(-1, block_size))
-    order_blocks = np.concatenate(rows) if rows else \
-        np.full((1, block_size), n, np.int32)
+    # (vectorized — a per-cell Python loop costs minutes at millions of
+    # points: each point lands at its cell's padded base + within-cell rank)
+    counts = np.bincount(sorted_cells, minlength=n_cells)
+    padded = -(-counts // block_size) * block_size        # per-cell capacity
+    pad_base = np.concatenate([[0], np.cumsum(padded)])
+    cell_base = np.concatenate([[0], np.cumsum(counts)])
+    rank = np.arange(n) - cell_base[sorted_cells]
+    flat = np.full(int(pad_base[-1]), n, np.int32)
+    flat[pad_base[sorted_cells] + rank] = order
+    order_blocks = flat.reshape(-1, block_size)
     b = order_blocks.shape[0]
 
     km_pad = jnp.concatenate([km, jnp.zeros((1, l), jnp.int32)], axis=0)
