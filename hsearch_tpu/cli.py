@@ -1,0 +1,447 @@
+"""Command-line tools mirroring the reference binaries.
+
+    python -m hsearch_tpu <tool> [args]
+
+Tool-to-reference map (file formats match on clean inputs):
+
+    protein2datapoints   hclust/src/hclust/protein2datapoints.cpp
+    motif-search         hclust/src/hclust/motif_both_points.cpp
+    motif-search-exact   hclust/src/hclust/motif_both_points_noLSH.cpp
+    hclust2              hclust/src/hclust/hclust2.cpp (hclust3 = same
+                         algorithm, memory-lean variant — one flag here)
+    hclust               hclust/src/hclust/hclust.cpp
+    pcluster             pcluster/src/pcluster/pcluster.cpp
+    evaluate2            hclust/src/hclust/evaluate2.cpp
+    postprocess          hclust/src/hclust/centerDistanceSmapling.cpp
+    shuffle-kmers        hclust/src/hclust/shuffle_kmers.cpp
+    kmer2coordinates     IGC/shuffle_data/IGC/kmer2coordinates.cpp
+    gen-kmers            IGC/shuffle_data/IGC/{suffix_array,
+                         gen_kmers_from_suffix_array}.cpp
+    orf                  orf/orf_main.cc
+    stockholm            IGC/shuffle_data/Pfam/STOCKHOLM.{h,cpp}
+    fit-embedding        IGC/distance2coordinate/BLOSUM.m (mdscale)
+    bench                (no reference equivalent; BASELINE.json harness)
+
+Unlike the reference, no tool silently overrides its flags (the reference
+forces hash_K=hash_L=4 regardless of -k/-l, motif_both_points.cpp:380-381).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _read_kmer_input(path: str, k: int):
+    """k-mer FASTA or datapoints file -> (names, kmers (N, k) int32)."""
+    from .core import alphabet, embedding, io as hio
+    with open(path) as f:
+        head = f.read(4096)
+    if head.lstrip().startswith(">"):
+        db = hio.read_fasta(path)
+        names = db.names
+        km = np.stack([np.asarray(db.protein(i))[:k]
+                       for i in range(db.num_proteins)]).astype(np.int32)
+        return names, km, None
+    names, pts = hio.read_datapoints(path, k * embedding.AA_DIM)
+    # recover integer k-mers when the header carries them, else keep points
+    kmers = []
+    for h in names:
+        meta = hio.parse_datapoint_header(h)
+        if meta is None:
+            return names, None, np.asarray(pts, np.float32)
+        kmers.append(alphabet.encode(meta["kmer"]))
+    return names, np.stack(kmers).astype(np.int32), None
+
+
+def cmd_protein2datapoints(args):
+    import jax  # noqa: F401  (device warmup not needed; host-only tool)
+    from .core import dataprep, embedding, io as hio
+    db = hio.read_fasta(args.database, seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    headers, kmers = dataprep.sample_kmer_datapoints(db, args.kmer_len, rng)
+    pts = embedding.embed_kmers(kmers)
+    hio.write_datapoints(args.output, headers, pts)
+    print(f"[WROTE {len(headers)} datapoints to {args.output}]",
+          file=sys.stderr)
+
+
+def cmd_motif_search(args):
+    import jax
+    from .core import embedding
+    from .search import evaluate, exact, ivf, motif
+    from .core import io as hio
+    dnames, dk, dpts = _read_kmer_input(args.database, args.kmer_len)
+    cnames, ck, cpts = _read_kmer_input(args.centers, args.kmer_len)
+    if dk is None:
+        raise SystemExit("database must be k-mer-typed (FASTA or "
+                         "headered datapoints)")
+    centers = ck if ck is not None else cpts
+    key = jax.random.PRNGKey(args.seed)
+    if args.engine == "exact":
+        ci, ki, dd = exact.search_radius(dk, centers, args.radius)
+    elif args.engine == "ivf":
+        index = ivf.build_index(dk, key, block_size=args.block_size)
+        ci, ki, dd = ivf.search(index, centers, args.radius,
+                                k_blocks=args.k_blocks,
+                                max_hits=args.max_hits)
+    else:
+        cfg = motif.MotifSearchConfig(
+            hash_k=args.hash_k, hash_l=args.hash_l, w=args.width,
+            radius=args.radius, probes=args.probes, max_hits=args.max_hits)
+        index = motif.build_index(dk, key, cfg)
+        ci, ki, dd = motif.search(index, centers, cfg)
+    with open(args.output, "w") as f:
+        for a, b, d in zip(ci, ki, dd):
+            f.write(f"{cnames[a]} {dnames[b]} {d:g}\n")
+    print(f"[{len(ci)} hits -> {args.output}]", file=sys.stderr)
+    if args.ground_truth:
+        truth = hio.read_triples(args.ground_truth)
+        name_ci = [(cnames[a], dnames[b]) for a, b in zip(ci, ki)]
+        tp = [(a, b) for a, b, _ in truth]
+        td = [d for _, _, d in truth]
+        rep = evaluate.weighted_recall(tp, td, name_ci, args.radius)
+        print(f"ACCURACY {rep.recall}")
+        evaluate.write_accuracy_file(args.output + ".accuracy.txt", rep)
+
+
+def cmd_motif_search_exact(args):
+    from .search import exact
+    dnames, dk, _ = _read_kmer_input(args.database, args.kmer_len)
+    cnames, ck, cpts = _read_kmer_input(args.centers, args.kmer_len)
+    centers = ck if ck is not None else cpts
+    ci, ki, dd = exact.search_radius(dk, centers, args.radius)
+    with open(args.output, "w") as f:
+        for a, b, d in zip(ci, ki, dd):
+            f.write(f"{cnames[a]} {dnames[b]} {d:g}\n")
+    # misses file (motif_both_points_noLSH.cpp:48-52)
+    if args.not_less_than:
+        hit_pairs = set(zip(ci.tolist(), ki.tolist()))
+        with open(args.not_less_than, "w") as f:
+            for a in range(len(cnames)):
+                for b in range(len(dnames)):
+                    if (a, b) not in hit_pairs:
+                        f.write(f"{cnames[a]} {dnames[b]}\n")
+    print(f"[{len(ci)} exact hits -> {args.output}]", file=sys.stderr)
+
+
+def cmd_hclust2(args):
+    import jax
+    from .cluster import greedy
+    from .core import alphabet, io as hio
+    db = hio.read_fasta(args.database, seed=args.seed)
+    km = np.stack([np.asarray(db.protein(i))[:args.kmer_len]
+                   for i in range(db.num_proteins)]).astype(np.int32)
+    cfg = greedy.ClusterConfig(hash_k=args.hash_k, hash_l=args.hash_l,
+                               w=args.width, radius=args.radius)
+    res = greedy.cluster_greedy(km, jax.random.PRNGKey(args.seed), cfg)
+    # member lines are the k-mer sequences: the post-processing tools read
+    # them back as sequences (centerDistanceSmapling.cpp:119,146)
+    clusters = [[alphabet.decode(km[int(i)]) for i in grp]
+                for grp in res.clusters()]
+    hio.write_clusters(args.output, clusters, style="hclust2")
+    print(f"[{len(clusters)} clusters -> {args.output}]", file=sys.stderr)
+
+
+def cmd_hclust(args):
+    import jax
+    from .cluster import centroid
+    from .core import io as hio
+    db = hio.read_fasta(args.database, seed=args.seed)
+    km = np.stack([np.asarray(db.protein(i))[:args.kmer_len]
+                   for i in range(db.num_proteins)]).astype(np.int32)
+    cfg = centroid.CentroidConfig(hash_k=args.hash_k, hash_l=args.hash_l,
+                                  w=args.width, radius=args.radius)
+    groups = centroid.cluster_centroid(km, jax.random.PRNGKey(args.seed),
+                                       cfg)
+    from .core import alphabet
+    clusters = [[alphabet.decode(km[int(i)]) for i in grp] for grp in groups]
+    hio.write_clusters(args.output, clusters, style="hclust")
+    print(f"[{len(clusters)} clusters -> {args.output}]", file=sys.stderr)
+
+
+def cmd_pcluster(args):
+    import jax
+    from .align import pipeline as apipe
+    from .cluster import pcluster
+    from .core import io as hio
+    db = hio.read_fasta(args.database, seed=args.seed)
+    params = apipe.SearchParams(evalue_threshold=args.evalue,
+                                max_aln_per_query=args.max_aln,
+                                max_m8_per_query=args.max_hit)
+    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(args.seed),
+                                    params, cluster_evalue=args.cluster_evalue,
+                                    tables=args.tables)
+    apipe.write_m8(args.output + ".m8", res.hits, db.names, db.names)
+    apipe.write_aln(args.output + ".aln",
+                    res.hits[:args.max_aln], db.names, db.names)
+    clusters = [[db.names[int(i)] for i in g] for g in res.groups()]
+    hio.write_clusters(args.output + ".clusters", clusters, style="hclust2")
+    print(f"[{len(clusters)} clusters, {len(res.hits)} hits -> "
+          f"{args.output}.*]", file=sys.stderr)
+
+
+def cmd_evaluate2(args):
+    import os
+    from .core import io as hio
+    from .search import evaluate
+    truth = hio.read_triples(args.ground_truth)
+    tp = [(a, b) for a, b, _ in truth]
+    td = [d for _, _, d in truth]
+    paths = []
+    if os.path.isdir(args.result):
+        paths = [os.path.join(args.result, p)
+                 for p in sorted(os.listdir(args.result))]
+    else:
+        paths = [args.result]
+    for p in paths:
+        found = [(a, b) for a, b, _ in hio.read_triples(p)]
+        rep = evaluate.weighted_recall(tp, td, found, args.radius)
+        print(f"{p} ACCURACY {rep.recall}")
+
+
+def cmd_postprocess(args):
+    from .cluster import postprocess
+    from .core import io as hio
+    clusters = hio.read_clusters(args.clusters)
+    clusters = [c for c in clusters if len(c) >= args.min_size]
+    named = [(f"cluster{i}", c) for i, c in enumerate(clusters)]
+    centers = postprocess.cluster_centers(clusters)
+    postprocess.write_centers_as_datapoints(
+        args.output + "hclust.format.txt",
+        [n for n, _ in named], centers)
+    postprocess.write_meme(args.output + "meme.format.txt", named)
+    inter, _ = postprocess.center_distance_samples(centers)
+    with open(args.output + "center_distances.txt", "w") as f:
+        for d in inter:
+            f.write(f"{d:g}\n")
+    print(f"[{len(clusters)} clusters postprocessed -> {args.output}*]",
+          file=sys.stderr)
+
+
+def cmd_shuffle_kmers(args):
+    from .cluster import postprocess
+    from .core import io as hio
+    clusters = hio.read_clusters(args.clusters)
+    clusters = [c for c in clusters if len(c) >= args.min_size]
+    named = [(f"cluster{i}", c) for i, c in enumerate(clusters)]
+    rng = np.random.default_rng(args.seed)
+    recs = postprocess.shuffle_motifs(named, rng, args.num_motifs,
+                                      args.seqs_per_motif)
+    with open(args.output, "w") as f:
+        for name, seq in recs:
+            f.write(f">{name}\n{seq}\n")
+    print(f"[{len(recs)} shuffled records -> {args.output}]",
+          file=sys.stderr)
+
+
+def cmd_kmer2coordinates(args):
+    from .core import dataprep, io as hio
+    names, km, _ = _read_kmer_input(args.input, args.kmer_len)
+    pts = dataprep.kmers_to_coordinates(km)
+    hio.write_datapoints(args.output, names, pts)
+    print(f"[{len(names)} points -> {args.output}]", file=sys.stderr)
+
+
+def cmd_gen_kmers(args):
+    from .core import alphabet, dataprep, io as hio
+    db = hio.read_fasta(args.database, seed=args.seed)
+    kmers, counts = dataprep.unique_kmers(db, args.kmer_len)
+    with open(args.output, "w") as f:
+        for km, c in zip(kmers, counts):
+            f.write(f"{alphabet.decode(km)}\t{c}\n")
+    print(f"[{len(kmers)} unique {args.kmer_len}-mers -> {args.output}]",
+          file=sys.stderr)
+
+
+def _read_raw_fasta(path: str):
+    names, seqs, cur = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if names:
+                    seqs.append("".join(cur))
+                    cur = []
+                names.append(line[1:].split(" ")[0])
+            else:
+                cur.append(line)
+    if names:
+        seqs.append("".join(cur))
+    return names, seqs
+
+
+def cmd_orf(args):
+    from .core import orf
+    names, dnas = _read_raw_fasta(args.query)
+    out_names, peptides = orf.translate_fasta(names, dnas, args.min_len)
+    # default output name matches orf_main.cc:12-19
+    out = args.output or (args.query + "_translatedAA.fasta")
+    with open(out, "w") as f:
+        for n, pep in zip(out_names, peptides):
+            f.write(f">{n}\n{pep}\n")
+    print(f"[{len(peptides)} peptides -> {out}]", file=sys.stderr)
+
+
+def cmd_stockholm(args):
+    from .core import stockholm
+    centers = stockholm.extract_centers(args.input, args.length,
+                                        sample_every=args.sample_every)
+    with open(args.output, "w") as f:
+        for label, motif_seq in centers:
+            f.write(f">{label}\n{motif_seq}\n")
+    print(f"[{len(centers)} centers -> {args.output}]", file=sys.stderr)
+
+
+def cmd_fit_embedding(args):
+    from .parallel import train
+    coords = train.fit_embedding(dim=args.dim, steps=args.steps,
+                                 batch=args.batch, kmer_len=args.kmer_len,
+                                 lr=args.lr, seed=args.seed)
+    np.savetxt(args.output, coords, fmt="%.6f")
+    print(f"[{args.dim}-dim embedding -> {args.output}]", file=sys.stderr)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hsearch_tpu",
+                                description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    def common_lsh(q):
+        q.add_argument("-k", "--hash-k", type=int, default=4)
+        q.add_argument("-L", "--hash-l", type=int, default=4)
+        q.add_argument("-W", "--width", type=float, default=50.0)
+        q.add_argument("-T", "--radius", type=float, default=200.0)
+        q.add_argument("--seed", type=int, default=0)
+
+    q = sub.add_parser("protein2datapoints")
+    q.add_argument("-d", "--database", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-l", "--kmer-len", type=int, default=25)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_protein2datapoints)
+
+    q = sub.add_parser("motif-search")
+    q.add_argument("-d", "--database", required=True)
+    q.add_argument("-c", "--centers", required=True)
+    q.add_argument("-l", "--kmer-len", type=int, default=25)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-g", "--ground-truth")
+    q.add_argument("--engine", choices=("lsh", "ivf", "exact"),
+                   default="lsh")
+    q.add_argument("--probes", type=int, default=1)
+    q.add_argument("--max-hits", type=int, default=256)
+    q.add_argument("--block-size", type=int, default=32)
+    q.add_argument("--k-blocks", type=int, default=64)
+    common_lsh(q)
+    q.set_defaults(func=cmd_motif_search)
+
+    q = sub.add_parser("motif-search-exact")
+    q.add_argument("-d", "--database", required=True)
+    q.add_argument("-c", "--centers", required=True)
+    q.add_argument("-l", "--kmer-len", type=int, default=25)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-T", "--radius", type=float, default=200.0)
+    q.add_argument("--not-less-than")
+    q.set_defaults(func=cmd_motif_search_exact)
+
+    for tool, func in (("hclust2", cmd_hclust2), ("hclust", cmd_hclust)):
+        q = sub.add_parser(tool)
+        q.add_argument("-d", "--database", required=True)
+        q.add_argument("-o", "--output", required=True)
+        q.add_argument("-l", "--kmer-len", type=int, default=25)
+        common_lsh(q)
+        q.set_defaults(func=func)
+
+    q = sub.add_parser("pcluster")
+    q.add_argument("-d", "--database", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-e", "--evalue", type=float, default=10.0)
+    q.add_argument("--cluster-evalue", type=float, default=1e-3)
+    q.add_argument("--max-aln", type=int, default=100)
+    q.add_argument("--max-hit", type=int, default=500)
+    q.add_argument("--tables", type=int, default=1)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_pcluster)
+
+    q = sub.add_parser("evaluate2")
+    q.add_argument("-g", "--ground-truth", required=True)
+    q.add_argument("-r", "--result", required=True,
+                   help="result file or directory of result files")
+    q.add_argument("-T", "--radius", type=float, default=200.0)
+    q.set_defaults(func=cmd_evaluate2)
+
+    q = sub.add_parser("postprocess")
+    q.add_argument("-c", "--clusters", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("--min-size", type=int, default=50)
+    q.set_defaults(func=cmd_postprocess)
+
+    q = sub.add_parser("shuffle-kmers")
+    q.add_argument("-c", "--clusters", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("--min-size", type=int, default=100)
+    q.add_argument("-m", "--num-motifs", type=int)
+    q.add_argument("-n", "--seqs-per-motif", type=int)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_shuffle_kmers)
+
+    q = sub.add_parser("kmer2coordinates")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-l", "--kmer-len", type=int, default=10)
+    q.set_defaults(func=cmd_kmer2coordinates)
+
+    q = sub.add_parser("gen-kmers")
+    q.add_argument("-d", "--database", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-l", "--kmer-len", type=int, default=10)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_gen_kmers)
+
+    q = sub.add_parser("orf")
+    q.add_argument("-q", "--query", required=True)
+    q.add_argument("-o", "--output")
+    q.add_argument("--min-len", type=int, default=6)
+    q.set_defaults(func=cmd_orf)
+
+    q = sub.add_parser("stockholm")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-l", "--length", type=int, default=25)
+    q.add_argument("--sample-every", type=int, default=1)
+    q.set_defaults(func=cmd_stockholm)
+
+    q = sub.add_parser("fit-embedding")
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("--dim", type=int, default=8)
+    q.add_argument("--steps", type=int, default=2000)
+    q.add_argument("--batch", type=int, default=4096)
+    q.add_argument("--kmer-len", type=int, default=1)
+    q.add_argument("--lr", type=float, default=1e-1)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_fit_embedding)
+
+    return p
+
+
+def main(argv=None):
+    import os
+    p = build_parser()
+    p.add_argument("--platform", choices=("cpu", "tpu"),
+                   default=os.environ.get("HSEARCH_PLATFORM"),
+                   help="force the JAX backend (the JAX_PLATFORMS env var "
+                        "alone can be overridden by site customization)")
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Cluster post-processing: centers, distance samples, MEME output,
+benchmark shuffling.
+
+TPU-native re-implementation of centerDistanceSmapling.cpp and
+shuffle_kmers.cpp: all distance math is batched device GEMMs (the
+reference loops point pairs); file formats match the reference outputs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import alphabet, embedding
+from ..ops import distance
+
+#: MEME column order (centerDistanceSmapling.cpp:195-197)
+MEME_ALPHABET = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def cluster_centers(clusters: list[list[str]]) -> np.ndarray:
+    """Mean embedded point per cluster ((K, 8L) array).
+
+    Equivalent of Center() over KmerToCoordinates embeddings
+    (centerDistanceSmapling.cpp:110-136).
+    """
+    out = []
+    for members in clusters:
+        km = np.stack([alphabet.encode(m) for m in members])
+        out.append(embedding.embed_kmers(km).mean(axis=0))
+    return np.stack(out)
+
+
+def write_centers_as_datapoints(path: str, names: list[str],
+                                centers: np.ndarray) -> None:
+    """'hclust.format.txt' writer (cluster2datapoint,
+    centerDistanceSmapling.cpp:125-135): name line + coordinate line."""
+    with open(path, "w") as f:
+        for name, c in zip(names, centers):
+            f.write(name + "\n")
+            f.write(" ".join(f"{v:g}" for v in c) + "\n")
+
+
+def center_distance_samples(centers: np.ndarray,
+                            random_points: np.ndarray | None = None):
+    """(inter-center distances, random-point-to-center distances).
+
+    sequencedatabase2centers (centerDistanceSmapling.cpp:138-186), as two
+    GEMM distance matrices instead of scalar loops.  Returns flat arrays.
+    """
+    c = jnp.asarray(centers, jnp.float32)
+    d2 = np.asarray(distance.sq_distance_matrix(c, c))
+    iu = np.triu_indices(len(centers), k=1)
+    inter = np.sqrt(np.maximum(d2[iu], 0.0))
+    rand_d = None
+    if random_points is not None:
+        r2 = np.asarray(distance.sq_distance_matrix(
+            jnp.asarray(random_points, jnp.float32), c))
+        rand_d = np.sqrt(np.maximum(r2, 0.0)).ravel()
+    return inter, rand_d
+
+
+def meme_probability_matrix(members: list[str]) -> np.ndarray:
+    """(w, 20) letter-probability matrix in MEME_ALPHABET column order."""
+    w = len(members[0])
+    counts = np.zeros((w, 26), np.float64)
+    for m in members:
+        for k, ch in enumerate(m):
+            counts[k][ord(ch) - ord("A")] += 1.0
+    cols = [ord(ch) - ord("A") for ch in MEME_ALPHABET]
+    mat = counts[:, cols]
+    sums = counts.sum(axis=1, keepdims=True)
+    return mat / np.maximum(sums, 1.0)
+
+
+def write_meme(path: str, clusters: list[tuple[str, list[str]]],
+               max_members: int | None = None,
+               include_members: bool = False) -> None:
+    """MEME version-4 motif file (meme_format_output,
+    centerDistanceSmapling.cpp:189-228; clusterDistance :243-270).
+
+    ``max_members=10`` with ``include_members=True`` matches
+    meme_format_output's truncated variant; the defaults produce the
+    clean matrix-only form of clusterDistance.
+    """
+    with open(path, "w") as f:
+        f.write("MEME version 4\n\n")
+        f.write(f"ALPHABET= {MEME_ALPHABET}\n\n")
+        for name, members in clusters:
+            if max_members is not None:
+                members = members[:max_members]
+            f.write(f"MOTIF {name}\n")
+            f.write(f"letter-probability matrix: alength= 20 "
+                    f"w= {len(members[0])}\n")
+            if include_members:
+                for m in members:
+                    f.write(m + "\n")
+                f.write("\n " + "    ".join(MEME_ALPHABET) + "\n")
+            mat = meme_probability_matrix(members)
+            for row in mat:
+                f.write(" ".join(f"{v:.2f}" for v in row) + "\n")
+            f.write("\n")
+
+
+def shuffle_motifs(clusters: list[tuple[str, list[str]]],
+                   rng: np.random.Generator,
+                   num_motifs: int | None = None,
+                   seqs_per_motif: int | None = None):
+    """Labeled, shuffled benchmark FASTA records (shuffleMotifs,
+    shuffle_kmers.cpp:13-65) — deterministic rng instead of time(NULL).
+
+    Returns list of (name 'motif<i>_seq<j>', sequence) in random order.
+    """
+    if num_motifs:
+        clusters = clusters[:num_motifs]
+    records = []
+    for i, (_, members) in enumerate(clusters):
+        if seqs_per_motif:
+            members = members[:seqs_per_motif]
+        for j, m in enumerate(members):
+            records.append((f"motif{i}_seq{j}", m))
+    perm = rng.permutation(len(records))
+    return [records[i] for i in perm]

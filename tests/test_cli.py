@@ -1,0 +1,156 @@
+"""CLI integration tests: each tool runs end-to-end on tiny inputs."""
+
+import numpy as np
+import pytest
+
+from hsearch_tpu import cli
+from hsearch_tpu.core import alphabet, io as hio
+
+AA = "ARNDCQEGHILKMFPSTWYV"
+
+
+@pytest.fixture
+def fasta_db(tmp_path, rng):
+    """30 proteins, 10 of which embed a planted 10-mer motif."""
+    motif = "WWCHHKKRRF"
+    path = tmp_path / "db.fasta"
+    with open(path, "w") as f:
+        for i in range(30):
+            s = "".join(AA[j] for j in rng.integers(0, 20, 80))
+            if i % 3 == 0:
+                s = motif + s[10:]      # at offset 0: the sampler's first
+                                        # window always captures the motif
+            f.write(f">p{i}\n{s}\n")
+    return str(path), motif
+
+
+@pytest.fixture
+def kmer_fasta(tmp_path, rng):
+    """k-mer FASTA: 3 clusters of near-duplicate 10-mers + noise."""
+    path = tmp_path / "kmers.fasta"
+    rows = []
+    for c in range(3):
+        base = rng.integers(0, 20, 10)
+        for j in range(40):
+            s = base.copy()
+            s[rng.integers(0, 10)] = rng.integers(0, 20)
+            rows.append(s)
+    for j in range(30):
+        rows.append(rng.integers(0, 20, 10))
+    with open(path, "w") as f:
+        for i, r in enumerate(rows):
+            f.write(f">k{i}\n{''.join(AA[int(x)] for x in r)}\n")
+    return str(path)
+
+
+def test_protein2datapoints_and_search(tmp_path, fasta_db):
+    db_path, motif = fasta_db
+    dp = str(tmp_path / "points.txt")
+    cli.main(["protein2datapoints", "-d", db_path, "-o", dp, "-l", "10"])
+    names, pts = hio.read_datapoints(dp, 80)
+    assert len(names) > 10
+    # centers file: the motif itself as FASTA
+    centers = str(tmp_path / "centers.fasta")
+    with open(centers, "w") as f:
+        f.write(f">center0\n{motif}\n")
+    out = str(tmp_path / "hits.txt")
+    gt = str(tmp_path / "gt.txt")
+    cli.main(["motif-search-exact", "-d", dp, "-c", centers, "-l", "10",
+              "-T", "25", "-o", gt])
+    cli.main(["motif-search", "-d", dp, "-c", centers, "-l", "10",
+              "-T", "25", "-o", out, "-g", gt, "--probes", "4"])
+    hits = hio.read_triples(out)
+    truth = hio.read_triples(gt)
+    assert 0 < len(hits) <= len(truth)
+    assert set((a, b) for a, b, _ in hits) <= \
+        set((a, b) for a, b, _ in truth)
+    # and the ivf engine agrees with exact
+    out2 = str(tmp_path / "hits_ivf.txt")
+    cli.main(["motif-search", "-d", dp, "-c", centers, "-l", "10",
+              "-T", "25", "-o", out2, "--engine", "ivf",
+              "--k-blocks", "64"])
+    ivf_hits = hio.read_triples(out2)
+    assert set((a, b) for a, b, _ in ivf_hits) <= \
+        set((a, b) for a, b, _ in truth)
+
+
+def test_evaluate2_cli(tmp_path, capsys):
+    gt = tmp_path / "gt.txt"
+    gt.write_text("c0 k0 5.0\nc0 k1 10.0\nc0 k2 30.0\n")
+    res = tmp_path / "res.txt"
+    res.write_text("c0 k0 5.0\nc0 k2 30.0\n")
+    cli.main(["evaluate2", "-g", str(gt), "-r", str(res), "-T", "200"])
+    out = capsys.readouterr().out
+    assert "ACCURACY" in out
+    acc = float(out.split("ACCURACY")[1].strip())
+    assert 0.5 < acc < 1.0        # missed the weight-1 k1 pair
+
+
+def test_hclust2_postprocess_shuffle(tmp_path, kmer_fasta):
+    clusters = str(tmp_path / "clusters.txt")
+    cli.main(["hclust2", "-d", kmer_fasta, "-o", clusters, "-l", "10",
+              "-T", "25", "-k", "4", "-L", "8"])
+    got = hio.read_clusters(clusters)
+    assert len(got) >= 3
+    pp = str(tmp_path / "pp_")
+    cli.main(["postprocess", "-c", clusters, "-o", pp, "--min-size", "10"])
+    meme = open(pp + "meme.format.txt").read()
+    assert meme.startswith("MEME version 4")
+    assert "letter-probability matrix" in meme
+    shuf = str(tmp_path / "shuffled.fasta")
+    cli.main(["shuffle-kmers", "-c", clusters, "-o", shuf,
+              "--min-size", "10", "--seed", "1"])
+    recs = open(shuf).read().splitlines()
+    assert recs[0].startswith(">motif")
+
+
+def test_pcluster_cli(tmp_path, rng):
+    path = tmp_path / "prot.fasta"
+    base = "".join(AA[j] for j in rng.integers(0, 20, 120))
+    with open(path, "w") as f:
+        f.write(f">a\n{base}\n>b\n{base}\n")      # exact duplicates
+        for i in range(3):
+            s = "".join(AA[j] for j in rng.integers(0, 20, 100))
+            f.write(f">n{i}\n{s}\n")
+    out = str(tmp_path / "pc")
+    cli.main(["pcluster", "-d", str(path), "-o", out])
+    m8 = open(out + ".m8").read()
+    assert "a\tb" in m8 or "b\ta" in m8
+    clusters = hio.read_clusters(out + ".clusters")
+    joined = [c for c in clusters if "a" in c and "b" in c]
+    assert len(joined) == 1
+
+
+def test_orf_and_gen_kmers_and_stockholm(tmp_path, rng):
+    dna = tmp_path / "dna.fasta"
+    dna.write_text(">d1\nATGGCCATTGTAATGGGCCGCTGAAAGGGTGCCCGATAG\n")
+    out = str(tmp_path / "aa.fasta")
+    cli.main(["orf", "-q", str(dna), "-o", out])
+    assert any("MAIVMGR" in line for line in open(out))
+
+    fa = tmp_path / "p.fasta"
+    with open(fa, "w") as f:
+        f.write(">x\nARNDCARNDCARNDC\n")
+    uk = str(tmp_path / "kmers.tsv")
+    cli.main(["gen-kmers", "-d", str(fa), "-o", uk, "-l", "5"])
+    lines = [l.split("\t") for l in open(uk).read().splitlines()]
+    assert ("ARNDC", "3") in [(a, b) for a, b in lines]
+
+    stk = tmp_path / "fam.stk"
+    stk.write_text("# STOCKHOLM 1.0\n#=GF ID F1\n#=GF AC PF1\n"
+                   "s1/1-20  MKVLAAGHHKKRRFWWCHHK\n"
+                   "s2/1-20  MKVLAAGHHKKRRFWWCHHK\n//\n")
+    out = str(tmp_path / "centers.fasta")
+    cli.main(["stockholm", "-i", str(stk), "-o", out, "-l", "10"])
+    assert open(out).read().count(">") >= 1
+
+
+def test_kmer2coordinates_roundtrip(tmp_path):
+    fa = tmp_path / "k.fasta"
+    fa.write_text(">k0\nARNDCQEGHI\n")
+    out = str(tmp_path / "pts.txt")
+    cli.main(["kmer2coordinates", "-i", str(fa), "-o", out, "-l", "10"])
+    names, pts = hio.read_datapoints(out, 80)
+    from hsearch_tpu.core import embedding
+    want = embedding.embed_kmers(alphabet.encode("ARNDCQEGHI")[None, :])
+    np.testing.assert_allclose(pts[0], want[0], atol=1e-4)
