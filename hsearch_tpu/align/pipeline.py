@@ -266,6 +266,86 @@ class ProteinSearcher:
         return out
 
 
+def refine_gapped(searcher: ProteinSearcher, qseq: np.ndarray,
+                  hits: list[Hit], band: int = 32,
+                  margin: int = 16) -> list[Hit]:
+    """Re-align strong hits with the banded gapped aligner (opt-in).
+
+    The reference declares a gapped stage above GapExtSCut but never
+    invokes it (AlignGapped, hash_search.cpp:718-948 — dead code); this is
+    the working version: hits whose ungapped score reaches the gap trigger
+    are re-aligned over their span (plus ``margin`` residues each side)
+    with affine gaps and full traceback (native C++ when built,
+    numpy fallback).  Scores/identity/extents update when the gapped
+    alignment wins; e-values are recomputed with gapped statistics.
+    """
+    import math as _math
+
+    from .. import native_ext
+    from ..core import blosum as _blosum
+    cut = searcher.cutoffs
+    sub21 = np.full((21, 21), extend.NEGSCORE, np.int32)
+    sub21[:20, :20] = _blosum.BLOSUM62
+    out = []
+    for h in hits:
+        if h.score < cut.gap_trigger:
+            out.append(h)
+            continue
+        local = int(np.nonzero(searcher.ids == h.subject)[0][0])
+        dlo = int(searcher.starts[local])
+        dhi = int(searcher.starts[local + 1])
+        qa = max(0, h.q_beg - 1 - margin)
+        qb = min(len(qseq), h.q_end + margin)
+        da = max(dlo, dlo + h.d_beg - 1 - margin)
+        db_ = min(dhi, dlo + h.d_end + margin)
+        res = native_ext.align_gapped(
+            np.minimum(qseq[qa:qb], 20).astype(np.int32),
+            np.minimum(searcher.seq[da:db_], 20).astype(np.int32),
+            sub21, cut.gap_open, cut.gap_extend,
+            int(round(cut.gap_ext_drop)), band)
+        if res is None or res[0] <= h.score:
+            out.append(h)
+            continue
+        score, ops, e1, e2 = res
+        n_gap = int((ops != 0).sum())
+        gap_open_count = int(((ops != 0)
+                              & np.concatenate([[True],
+                                                np.diff(ops) != 0])).sum())
+        aln_len = len(ops)
+        qi, di = qa, da
+        q_chars, d_chars, match = [], [], 0
+        for op in ops:
+            if op == 0:
+                q_chars.append(alphabet.decode(qseq[qi:qi + 1]))
+                d_chars.append(alphabet.decode(searcher.seq[di:di + 1]))
+                if qseq[qi] == searcher.seq[di]:
+                    match += 1
+                qi += 1
+                di += 1
+            elif op == 1:
+                q_chars.append(alphabet.decode(qseq[qi:qi + 1]))
+                d_chars.append("-")
+                qi += 1
+            else:
+                q_chars.append("-")
+                d_chars.append(alphabet.decode(searcher.seq[di:di + 1]))
+                di += 1
+        ev = searcher.stat.raw_to_expect(score)
+        out.append(dataclasses.replace(
+            h, score=score, bits=searcher.stat.raw_to_bits(score),
+            evalue=ev, aln_len=aln_len,
+            identity=match * 100.0 / max(aln_len, 1),
+            mismatch=aln_len - match - n_gap, gap_open=gap_open_count,
+            q_beg=qa + 1, q_end=qa + e1, d_beg=da - dlo + 1,
+            d_end=da - dlo + e2,
+            q_aln="".join(q_chars), d_aln="".join(d_chars),
+            info="".join(a if a == b else
+                         ("+" if a != "-" and b != "-"
+                          and _pos_score(a, b) > 0 else " ")
+                         for a, b in zip(q_chars, d_chars))))
+    return out
+
+
 def _pos_score(a: str, b: str) -> int:
     from ..core import blosum
     ia, ib = alphabet.encode(a)[0], alphabet.encode(b)[0]

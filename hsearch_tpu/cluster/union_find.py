@@ -52,9 +52,15 @@ class UnionFind:
         return np.split(order, cuts)
 
 
-def connected_components(n: int, src: np.ndarray,
-                         dst: np.ndarray) -> np.ndarray:
-    """Convenience: labels of the graph with the given edges."""
+def connected_components(n: int, src: np.ndarray, dst: np.ndarray,
+                         use_native: bool = True) -> np.ndarray:
+    """Convenience: labels of the graph with the given edges.
+
+    Routes through the C++ extension when built (hs_union_find)."""
+    if use_native:
+        from .. import native_ext
+        if native_ext.available():
+            return native_ext.union_find_labels(n, src, dst)
     uf = UnionFind(n)
     uf.union_edges(src, dst)
     return uf.components()

@@ -68,6 +68,20 @@ def read_fasta(path_or_file, *, seed: int | None = 0,
     alphabetic residues are replaced with seeded-random AAs as the reference
     does at read time (read_proteins.cpp:27-33).
     """
+    if isinstance(path_or_file, (str, bytes)) and name_upto_space \
+            and drop_non_alpha:
+        # native single-pass parser (hsearch_native.cpp hs_parse_fasta)
+        from .. import native_ext
+        if native_ext.available():
+            with open(path_or_file, "rb") as fh:
+                parsed = native_ext.parse_fasta_bytes(fh.read())
+            if parsed is not None:
+                names, seq, starts = parsed
+                if seed is not None:
+                    seq = alphabet.randomize_unknown(
+                        seq, np.random.default_rng(seed))
+                return ProteinDB(names=names, seq=seq,
+                                 starts=starts.astype(np.int64))
     close = False
     if isinstance(path_or_file, (str, bytes)):
         f = open(path_or_file, "r")

@@ -1,0 +1,222 @@
+"""ctypes bindings for the native host kernels (native/hsearch_native.cpp).
+
+Each function transparently falls back to a pure-Python/numpy
+implementation when the shared library is absent — the extension
+accelerates irregular host-side work (parsing, suffix sort, traceback),
+it is never a hard dependency.  ``available()`` reports which path is
+active; ``build()`` compiles it in place with make.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhsearch_native.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    i64 = ctypes.c_int64
+    lib.hs_parse_fasta.restype = i64
+    lib.hs_parse_fasta.argtypes = [
+        ctypes.c_char_p, i64,
+        np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        i64]
+    lib.hs_suffix_array.restype = None
+    lib.hs_suffix_array.argtypes = [
+        np.ctypeslib.ndpointer(np.int32), i64,
+        np.ctypeslib.ndpointer(np.int64)]
+    lib.hs_union_find.restype = None
+    lib.hs_union_find.argtypes = [
+        i64, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), i64,
+        np.ctypeslib.ndpointer(np.int64)]
+    lib.hs_align_gapped.restype = i64
+    lib.hs_align_gapped.argtypes = [
+        np.ctypeslib.ndpointer(np.int32), i64,
+        np.ctypeslib.ndpointer(np.int32), i64,
+        np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i64,
+        np.ctypeslib.ndpointer(np.uint8), i64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(i64),
+        ctypes.POINTER(i64)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build() -> bool:
+    """Compile the extension in place (requires g++)."""
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    global _lib
+    _lib = None
+    return available()
+
+
+# -- FASTA ----------------------------------------------------------------
+def parse_fasta_bytes(data: bytes):
+    """bytes -> (names, seq uint8 AA indices, starts int64).
+
+    Native single-pass parser; falls back to core.io.read_fasta semantics
+    (without unknown-residue randomization — callers apply that).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(data)
+    max_rec = data.count(b">") + 1
+    seq = np.empty(n, np.uint8)
+    starts = np.zeros(max_rec + 1, np.int64)
+    noff = np.zeros(max_rec + 1, np.int64)
+    nlen = np.zeros(max_rec + 1, np.int64)
+    n_rec = lib.hs_parse_fasta(data, n, seq, starts, noff, nlen, max_rec)
+    if n_rec < 0:
+        return None
+    names = [data[noff[i]:noff[i] + nlen[i]].decode()
+             for i in range(n_rec)]
+    total = starts[n_rec]
+    return names, seq[:total].copy(), starts[:n_rec + 1].copy()
+
+
+# -- suffix array ---------------------------------------------------------
+def suffix_array(seq: np.ndarray) -> np.ndarray:
+    lib = _load()
+    s = np.ascontiguousarray(seq, np.int32)
+    if lib is None:
+        from .core import dataprep
+        return dataprep.suffix_array(s)
+    out = np.empty(len(s), np.int64)
+    lib.hs_suffix_array(s, len(s), out)
+    return out
+
+
+# -- union find -----------------------------------------------------------
+def union_find_labels(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from .cluster.union_find import connected_components
+        return connected_components(n, src, dst)
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    out = np.empty(n, np.int64)
+    lib.hs_union_find(n, src, dst, len(src), out)
+    return out
+
+
+# -- banded gapped alignment ----------------------------------------------
+def align_gapped(q: np.ndarray, d: np.ndarray, sub21: np.ndarray,
+                 gap_open: int = 11, gap_ext: int = 1, drop: int = 27,
+                 band: int = 32):
+    """Banded affine-gap alignment with traceback.
+
+    Returns (score, ops uint8 array [0=M, 1=gap-in-d, 2=gap-in-q],
+    q_extent, d_extent) or None when the native library is unavailable
+    (callers then keep the ungapped alignment — which is also the
+    reference's actual runtime behavior, since its gapped path is dead
+    code; hash_search.cpp:653-657).
+    """
+    lib = _load()
+    if lib is None:
+        return _align_gapped_py(q, d, sub21, gap_open, gap_ext, drop, band)
+    q = np.ascontiguousarray(q, np.int32)
+    d = np.ascontiguousarray(d, np.int32)
+    sub = np.ascontiguousarray(sub21, np.int32)
+    cap = len(q) + len(d) + 2
+    ops = np.empty(cap, np.uint8)
+    score = ctypes.c_int32(0)
+    e1 = ctypes.c_int64(0)
+    e2 = ctypes.c_int64(0)
+    n_ops = lib.hs_align_gapped(q, len(q), d, len(d), sub, gap_open,
+                                gap_ext, drop, band, ops, cap,
+                                ctypes.byref(score), ctypes.byref(e1),
+                                ctypes.byref(e2))
+    if n_ops < 0:
+        return None
+    return int(score.value), ops[:n_ops].copy(), int(e1.value), int(e2.value)
+
+
+def _align_gapped_py(q, d, sub21, gap_open, gap_ext, drop, band):
+    """Reference-free numpy fallback (same banded affine recurrence)."""
+    m, nn = len(q), len(d)
+    NEG = -(1 << 28)
+    w = 2 * band + 1
+    H = np.full((m + 1, w), NEG, np.int64)
+    E = np.full((m + 1, w), NEG, np.int64)
+    F = np.full((m + 1, w), NEG, np.int64)
+    bt = np.full((m + 1, w), 255, np.uint8)
+    best, bi, bj = 0, 0, 0
+    for jj in range(band, w):
+        j = jj - band
+        if j > nn:
+            break
+        H[0, jj] = 0 if j == 0 else -(gap_open + (j - 1) * gap_ext)
+        bt[0, jj] = 3 if j == 0 else 2
+    for i in range(1, m + 1):
+        alive = False
+        for jj in range(w):
+            j = i - band + jj
+            if j < 0 or j > nn:
+                continue
+            e = f = NEG
+            h, op = NEG, 255
+            if jj > 0 and j > 0:
+                e = max(H[i, jj - 1] - gap_open, E[i, jj - 1] - gap_ext)
+            if jj + 1 < w:
+                f = max(H[i - 1, jj + 1] - gap_open,
+                        F[i - 1, jj + 1] - gap_ext)
+            if j > 0 and H[i - 1, jj] > NEG:
+                diag = H[i - 1, jj] + int(sub21[q[i - 1], d[j - 1]])
+                if diag >= e and diag >= f:
+                    h, op = diag, 0
+            if op == 255:
+                if e >= f:
+                    h, op = e, 2
+                else:
+                    h, op = f, 1
+            E[i, jj], F[i, jj] = e, f
+            if h <= NEG // 2:
+                continue
+            H[i, jj], bt[i, jj] = h, op
+            if h > best:
+                best, bi, bj = h, i, jj
+            if h >= best - drop:
+                alive = True
+        if not alive and i > 1:
+            break
+    i, jj = bi, bj
+    rev = []
+    while not (i == 0 and i - band + jj == 0):
+        op = bt[i, jj]
+        if op in (255, 3):
+            break
+        rev.append(int(op))
+        if op == 0:
+            i -= 1
+        elif op == 1:
+            i -= 1
+            jj += 1
+        else:
+            jj -= 1
+    ops = np.asarray(rev[::-1], np.uint8)
+    return int(best), ops, int(bi), int(bi - band + bj)

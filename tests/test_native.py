@@ -1,0 +1,112 @@
+"""Native C++ extension tests: native path vs Python fallback parity."""
+
+import numpy as np
+import pytest
+
+from hsearch_tpu import native_ext
+from hsearch_tpu.core import alphabet, blosum, dataprep
+
+
+needs_native = pytest.mark.skipif(not native_ext.available(),
+                                  reason="native library not built")
+
+
+@needs_native
+def test_parse_fasta_native(rng):
+    data = b">seq1 desc here\nARNDC\nQEGHI\n>seq2\nwwyyv\n>seq3\nAXB-1A\n"
+    names, seq, starts = native_ext.parse_fasta_bytes(data)
+    assert names == ["seq1", "seq2", "seq3"]
+    assert starts.tolist() == [0, 10, 15, 19]
+    np.testing.assert_array_equal(seq[:10], alphabet.encode("ARNDCQEGHI"))
+    np.testing.assert_array_equal(seq[10:15], alphabet.encode("WWYYV"))
+    # X and B are unknown (20), '-' and '1' dropped
+    assert seq[15] == 0 and seq[16] == 20 and seq[17] == 20 and seq[18] == 0
+
+
+def test_suffix_array_native_matches_numpy(rng):
+    seq = rng.integers(0, 20, 500).astype(np.int32)
+    want = dataprep.suffix_array(seq)
+    got = native_ext.suffix_array(seq)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_union_find_native_matches_python(rng):
+    n = 100
+    src = rng.integers(0, n, 60)
+    dst = rng.integers(0, n, 60)
+    got = native_ext.union_find_labels(n, src, dst)
+    from hsearch_tpu.cluster.union_find import connected_components
+    want = connected_components(n, src, dst)
+    np.testing.assert_array_equal(got, want)
+
+
+def _sub21():
+    sub = np.full((21, 21), -5, np.int32)
+    sub[:20, :20] = blosum.BLOSUM62
+    return sub
+
+
+def test_align_gapped_identical():
+    q = alphabet.encode("ARNDCQEGHIKLMNP".replace("B", "")).astype(np.int32)
+    q = q[q < 20]
+    res = native_ext.align_gapped(q, q, _sub21())
+    assert res is not None
+    score, ops, e1, e2 = res
+    assert (ops == 0).all() and len(ops) == len(q)
+    assert score == int(blosum.BLOSUM62[q, q].sum())
+    assert e1 == len(q) and e2 == len(q)
+
+
+def test_align_gapped_with_gap():
+    base = alphabet.encode("ARNDCQEGHIKMFPSTWYVA").astype(np.int32)
+    q = base
+    d = np.concatenate([base[:10], alphabet.encode("A"), base[10:]])
+    d = d.astype(np.int32)
+    res = native_ext.align_gapped(q, d, _sub21(), gap_open=11, gap_ext=1)
+    assert res is not None
+    score, ops, e1, e2 = res
+    assert (ops == 2).sum() == 1            # one insertion in d
+    assert (ops == 0).sum() == len(q)
+    # score = perfect matches - gap_open for the 1-residue gap
+    perfect = int(blosum.BLOSUM62[q, q].sum())
+    assert score == perfect - 11
+
+
+def test_align_gapped_python_fallback_matches_native(rng):
+    if not native_ext.available():
+        pytest.skip("native library not built")
+    for _ in range(5):
+        q = rng.integers(0, 20, 30).astype(np.int32)
+        d = q.copy()
+        # a few mutations and a small indel
+        pos = rng.integers(0, 30, 3)
+        d[pos] = rng.integers(0, 20, 3)
+        d = np.delete(d, int(rng.integers(5, 25)))
+        nat = native_ext.align_gapped(q, d, _sub21())
+        py = native_ext._align_gapped_py(q, d, _sub21(), 11, 1, 27, 32)
+        assert nat[0] == py[0], (nat, py)
+        np.testing.assert_array_equal(nat[1], py[1])
+        assert nat[2:] == py[2:]
+
+
+def test_refine_gapped_improves_indel_hit(rng):
+    from hsearch_tpu.align import pipeline
+    from hsearch_tpu.core import io as hio
+    base = rng.integers(0, 20, 120).astype(np.int32)
+    # subject = query with a 2-residue deletion in the middle
+    subj = np.concatenate([base[:60], base[62:]])
+    seqs = [base, subj]
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=["q", "s"],
+                       seq=np.concatenate(seqs), starts=starts)
+    searcher = pipeline.ProteinSearcher(db)
+    hits = [h for h in searcher.search_sequence(base, 0) if h.subject == 1]
+    assert hits
+    best_ungapped = max(h.score for h in hits)
+    refined = pipeline.refine_gapped(searcher, base, hits)
+    best = max(refined, key=lambda h: h.score)
+    # the gapped alignment bridges the indel: higher score, gaps recorded,
+    # longer than either ungapped HSP's window half
+    assert best.score > best_ungapped
+    assert best.gap_open >= 1
+    assert best.aln_len > max(h.aln_len for h in hits)
