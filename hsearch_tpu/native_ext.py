@@ -45,6 +45,13 @@ def _load():
         i64, np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.int64), i64,
         np.ctypeslib.ndpointer(np.int64)]
+    lib.hs_brute_search.restype = i64
+    lib.hs_brute_search.argtypes = [
+        np.ctypeslib.ndpointer(np.int32), i64,
+        np.ctypeslib.ndpointer(np.int32), i64, i64,
+        np.ctypeslib.ndpointer(np.float64), ctypes.c_double,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.float64), i64]
     lib.hs_align_gapped.restype = i64
     lib.hs_align_gapped.argtypes = [
         np.ctypeslib.ndpointer(np.int32), i64,
@@ -122,6 +129,32 @@ def union_find_labels(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     out = np.empty(n, np.int64)
     lib.hs_union_find(n, src, dst, len(src), out)
     return out
+
+
+# -- reference-style brute force ------------------------------------------
+def brute_search_cpp(centers: np.ndarray, kmers: np.ndarray, radius: float,
+                     max_hits: int = 1 << 22):
+    """Single-threaded C++ brute force (motif_both_points_noLSH.cpp
+    semantics) — the reference-baseline scan used by bench.py.
+
+    Returns (ci, ki, dist) or None when the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    from .core import embedding
+    c, l = centers.shape
+    n = kmers.shape[0]
+    ci = np.empty(max_hits, np.int64)
+    ki = np.empty(max_hits, np.int64)
+    d2 = np.empty(max_hits, np.float64)
+    dsq = np.ascontiguousarray(embedding.DISTANCE_SQUARE, np.float64)
+    hits = lib.hs_brute_search(
+        np.ascontiguousarray(centers, np.int32), c,
+        np.ascontiguousarray(kmers, np.int32), n, l,
+        dsq, float(radius) ** 2, ci, ki, d2, max_hits)
+    hits = min(hits, max_hits)
+    return ci[:hits].copy(), ki[:hits].copy(), np.sqrt(d2[:hits])
 
 
 # -- banded gapped alignment ----------------------------------------------

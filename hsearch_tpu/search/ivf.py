@@ -115,8 +115,11 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     """
     n, l = db_kmers.shape
     km = jnp.asarray(db_kmers, jnp.int32)
-    pts = jnp.asarray(
-        embedding.embed_kmers(np.asarray(db_kmers)), jnp.float32)
+    # embed on device: only the integer k-mers cross host->device (the
+    # (N, 8L) float matrix is 8x larger and dominated build time on a
+    # remote TPU)
+    coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+    pts = jnp.take(coords, km, axis=0).reshape(n, l * coords.shape[1])
     if n_cells is None:
         n_cells = max(1, n // block_size)
     cells = np.asarray(_kmeans_cells(pts, key, n_cells, kmeans_iters))

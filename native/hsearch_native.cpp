@@ -235,4 +235,38 @@ int64_t hs_align_gapped(const int32_t* q, int64_t m, const int32_t* d,
   return n_ops;
 }
 
+// ---------------------------------------------------------------------------
+// Reference-style brute-force motif search: for every (center, kmer) pair
+// sum the per-position squared metric distances (the exact loop of
+// motif_both_points_noLSH.cpp:36-56 / PairwiseDistance_square), emitting
+// pairs with distance^2 <= r2.  Single-threaded on purpose: this IS the
+// reference's baseline algorithm, used by bench.py as the wall-clock
+// baseline the TPU engines are measured against.
+// Returns number of hits written (capped at out_cap).
+// ---------------------------------------------------------------------------
+int64_t hs_brute_search(const int32_t* centers, int64_t c,
+                        const int32_t* kmers, int64_t n, int64_t l,
+                        const double* dsq /* 20x20 */, double r2,
+                        int64_t* out_ci, int64_t* out_ki, double* out_d2,
+                        int64_t out_cap) {
+  int64_t hits = 0;
+  for (int64_t a = 0; a < c; ++a) {
+    const int32_t* ca = centers + a * l;
+    for (int64_t b = 0; b < n; ++b) {
+      const int32_t* kb = kmers + b * l;
+      double d2 = 0.0;
+      for (int64_t i = 0; i < l; ++i) d2 += dsq[ca[i] * 20 + kb[i]];
+      if (d2 <= r2) {
+        if (hits < out_cap) {
+          out_ci[hits] = a;
+          out_ki[hits] = b;
+          out_d2[hits] = d2;
+        }
+        ++hits;
+      }
+    }
+  }
+  return hits;
+}
+
 }  // extern "C"
