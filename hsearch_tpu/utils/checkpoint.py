@@ -1,0 +1,94 @@
+"""Index serialization: build once, search forever.
+
+The reference contemplated DB-index serialization but never wrote it
+(the ``//serialize`` comment, hash_search.cpp:254); its de facto
+checkpoints are the text files between pipeline stages.  Here every index
+round-trips through one ``.npz`` file (arrays + a small json header), so
+a multi-hour corpus build is paid once per corpus, not per query session.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+_KINDS = {}
+
+
+def _register(kind: str, cls, array_fields: tuple, static_fields: tuple,
+              device_fields: tuple = ()):
+    _KINDS[kind] = (cls, array_fields, static_fields, device_fields)
+
+
+def save_index(path: str, index) -> None:
+    """Serialize a MotifIndex / IVFIndex / SeedIndex to ``path`` (.npz)."""
+    from ..search import ivf, motif
+    from ..align import seed_index as si
+    from ..lsh import pstable
+    from ..ops import segment
+
+    if isinstance(index, motif.MotifIndex):
+        np.savez_compressed(
+            path, __kind__="motif",
+            meta=json.dumps({"cand_max": index.cand_max,
+                             "w": index.params.w,
+                             "pack_bits": index.params.pack_bits}),
+            a=np.asarray(index.params.a), b=np.asarray(index.params.b),
+            sorted_codes=np.asarray(index.tables.sorted_codes),
+            perm=np.asarray(index.tables.perm),
+            db_kmers=np.asarray(index.db_kmers))
+    elif isinstance(index, ivf.IVFIndex):
+        np.savez_compressed(
+            path, __kind__="ivf",
+            meta=json.dumps({"n_points": index.n_points}),
+            db_sorted=np.asarray(index.db_sorted),
+            order=np.asarray(index.order),
+            block_centroid=np.asarray(index.block_centroid),
+            block_radius=np.asarray(index.block_radius))
+    elif isinstance(index, si.SeedIndex):
+        np.savez_compressed(
+            path, __kind__="seed", meta=json.dumps({}),
+            sorted_codes=np.asarray(index.sorted_codes),
+            positions=np.asarray(index.positions),
+            seq=np.asarray(index.seq), starts=np.asarray(index.starts))
+    else:
+        raise TypeError(f"unknown index type {type(index)}")
+
+
+def load_index(path: str):
+    """Load an index saved by save_index; arrays land on the default
+    device lazily on first use."""
+    from ..search import ivf, motif
+    from ..align import seed_index as si
+    from ..lsh import pstable
+    from ..ops import segment
+
+    z = np.load(path, allow_pickle=False)
+    kind = str(z["__kind__"])
+    meta = json.loads(str(z["meta"]))
+    if kind == "motif":
+        params = pstable.PStableParams(
+            a=jnp.asarray(z["a"]), b=jnp.asarray(z["b"]),
+            w=float(meta["w"]), pack_bits=int(meta["pack_bits"]))
+        tables = segment.SortedTables(
+            sorted_codes=jnp.asarray(z["sorted_codes"]),
+            perm=jnp.asarray(z["perm"]))
+        return motif.MotifIndex(params=params, tables=tables,
+                                db_kmers=jnp.asarray(z["db_kmers"]),
+                                cand_max=int(meta["cand_max"]))
+    if kind == "ivf":
+        return ivf.IVFIndex(
+            db_sorted=jnp.asarray(z["db_sorted"]),
+            order=jnp.asarray(z["order"]),
+            block_centroid=jnp.asarray(z["block_centroid"]),
+            block_radius=jnp.asarray(z["block_radius"]),
+            n_points=int(meta["n_points"]))
+    if kind == "seed":
+        return si.SeedIndex(
+            sorted_codes=jnp.asarray(z["sorted_codes"]),
+            positions=jnp.asarray(z["positions"]),
+            seq=jnp.asarray(z["seq"]), starts=jnp.asarray(z["starts"]))
+    raise ValueError(f"unknown index kind {kind!r} in {path}")

@@ -1,0 +1,79 @@
+"""Phase timing + device tracing.
+
+The reference sprinkles ``clock()`` spans and a TIME_INFO macro around
+every phase (motif_both_points.cpp:373,384-386, pcluster util.hpp:179-186);
+here the same observability is structured: a ``Phase`` context accumulates
+wall-clock per named phase into a registry, and ``device_trace`` wraps
+``jax.profiler`` for real TPU traces (SURVEY §5 "TPU equivalent:
+jax.profiler traces + per-phase host timers").
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+_REGISTRY: dict[str, list[float]] = defaultdict(list)
+
+
+@contextlib.contextmanager
+def phase(name: str, *, sync: bool = False):
+    """Time a phase; optionally block on all device work first and after.
+
+    with profiling.phase("lsh-build", sync=True):
+        index = motif.build_index(...)
+    """
+    if sync:
+        import jax
+        (jax.effects_barrier if hasattr(jax, "effects_barrier")
+         else lambda: None)()
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if sync:
+            import jax
+            try:
+                jax.block_until_ready(jax.device_put(0))
+            except Exception:
+                pass
+        _REGISTRY[name].append(time.perf_counter() - t0)
+
+
+def report() -> dict[str, dict]:
+    """{phase: {count, total_s, mean_s}} for all recorded phases."""
+    return {k: {"count": len(v), "total_s": sum(v),
+                "mean_s": sum(v) / len(v)}
+            for k, v in _REGISTRY.items() if v}
+
+
+def reset() -> None:
+    _REGISTRY.clear()
+
+
+def print_report(file=None) -> None:
+    for name, st in sorted(report().items()):
+        line = (f"[TIME] {name}: total {st['total_s']:.3f}s over "
+                f"{st['count']} calls (mean {st['mean_s'] * 1000:.1f}ms)")
+        print(line, file=file)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace of the enclosed block (view in TensorBoard /
+    xprof).  No-op fallback if the profiler is unavailable."""
+    import jax
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
