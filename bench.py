@@ -46,8 +46,10 @@ def main():
     from hsearch_tpu.search import ivf, exact, evaluate
 
     on_tpu = jax.default_backend() != "cpu"
-    n = 1 << 20 if on_tpu else 1 << 16
-    c = 512 if on_tpu else 64
+    # sized so one bench run (including first-compile over a remote TPU
+    # tunnel) stays well inside a ten-minute budget
+    n = 1 << 19 if on_tpu else 1 << 16
+    c = 256 if on_tpu else 64
     l = 25
     radius = 35.0
     rng = np.random.default_rng(0)
