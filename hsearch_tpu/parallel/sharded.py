@@ -189,6 +189,153 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
             np.sqrt(np.maximum(d2[hc, hm], 0.0)).astype(np.float32))
 
 
+@dataclasses.dataclass
+class ShardedIVFIndex:
+    """Per-shard IVF sub-indexes over the ``db`` mesh axis.
+
+    Each shard owns an independent block-pruned index of its database
+    rows (search/ivf.py); block counts are padded to the max across
+    shards with never-alive dummy blocks (radius -inf).  Global point ids
+    are recovered from per-shard local ids + the shard's row offset.
+    """
+
+    mesh: jax.sharding.Mesh
+    db_sorted: jax.Array        # (S*B, bs, L) int32, P(db, None, None)
+    order: jax.Array            # (S*B, bs) int32 local ids (sentinel n_loc)
+    block_centroid: jax.Array   # (S*B, D) f32
+    block_radius: jax.Array     # (S*B,) f32
+    n_points: int
+    n_local: int                # padded rows per shard
+    max_hits: int = 256
+
+    @property
+    def blocks_per_shard(self) -> int:
+        return self.db_sorted.shape[0] // self.mesh.shape[DB]
+
+    @property
+    def block_size(self) -> int:
+        return self.db_sorted.shape[1]
+
+    @property
+    def kmer_len(self) -> int:
+        return self.db_sorted.shape[2]
+
+
+def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
+                    mesh: jax.sharding.Mesh, block_size: int = 32,
+                    max_hits: int = 256) -> ShardedIVFIndex:
+    """Build one IVF sub-index per ``db`` shard and stack them sharded."""
+    from ..search import ivf as ivf_lib
+
+    n, l = db_kmers.shape
+    ndb = mesh.shape[DB]
+    padded, _ = mesh_lib.pad_to_multiple(
+        np.asarray(db_kmers, np.int32), ndb, axis=0, fill=0)
+    n_local = padded.shape[0] // ndb
+    keys = jax.random.split(key, ndb)
+    subs = [ivf_lib.build_index(padded[s * n_local:(s + 1) * n_local],
+                                keys[s], block_size=block_size)
+            for s in range(ndb)]
+    b_max = max(s.num_blocks for s in subs)
+    ds, od, ce, ra = [], [], [], []
+    for s, sub in enumerate(subs):
+        b = sub.num_blocks
+        pad = b_max - b
+        ds.append(np.pad(np.asarray(sub.db_sorted),
+                         ((0, pad), (0, 0), (0, 0))))
+        od.append(np.pad(np.asarray(sub.order), ((0, pad), (0, 0)),
+                         constant_values=n_local))
+        ce.append(np.pad(np.asarray(sub.block_centroid),
+                         ((0, pad), (0, 0))))
+        ra.append(np.pad(np.asarray(sub.block_radius), (0, pad),
+                         constant_values=-np.inf))
+    sh = lambda spec: NamedSharding(mesh, spec)
+    return ShardedIVFIndex(
+        mesh=mesh,
+        db_sorted=jax.device_put(np.concatenate(ds), sh(P(DB, None, None))),
+        order=jax.device_put(np.concatenate(od), sh(P(DB, None))),
+        block_centroid=jax.device_put(np.concatenate(ce), sh(P(DB, None))),
+        block_radius=jax.device_put(np.concatenate(ra), sh(P(DB))),
+        n_points=n, n_local=n_local, max_hits=max_hits)
+
+
+def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
+    msh = index.mesh
+    n_local = index.n_local
+    n_total = index.n_local * msh.shape[DB]
+    bs = index.block_size
+    l = index.kmer_len
+    max_hits = index.max_hits
+
+    @functools.partial(
+        jax.shard_map, mesh=msh,
+        in_specs=(P(DB, None, None), P(DB, None), P(DB, None), P(DB),
+                  P(DATA, None), P(DATA, None), P()),
+        out_specs=(P(DATA, None), P(DATA, None), P(DATA)),
+        check_vma=False)
+    def step(db_sorted, order, cent, rad, centers_local, cemb_local, r):
+        dblk = jnp.sqrt(distance.sq_distance_matrix(cemb_local, cent))
+        alive = dblk <= r + rad[None, :]
+        n_alive = jnp.sum(alive, axis=1).astype(jnp.int32)
+        keym = jnp.where(alive, dblk, jnp.inf)
+        kb = min(k_blocks, keym.shape[1])
+        neg, blk_ids = jax.lax.top_k(-keym, kb)
+        blk_alive = jnp.isfinite(neg)
+        safe = jnp.where(blk_alive, blk_ids, 0)
+        cand = jnp.take(db_sorted, safe, axis=0).reshape(-1, kb * bs, l)
+        ids = jnp.take(order, safe, axis=0).reshape(-1, kb * bs)
+        ids = jnp.where(jnp.repeat(blk_alive, bs, axis=1), ids, n_local)
+        ptab = motif._center_ptables(centers_local, l)
+        d2 = distance.ptable_distances(ptab, cand)
+        hits = (ids < n_local) & (d2 <= r * r)
+        n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
+        d2m = jnp.where(hits, d2, jnp.inf)
+        k = min(max_hits, d2m.shape[1])
+        negd, sel = jax.lax.top_k(-d2m, k)
+        shard = jax.lax.axis_index(DB).astype(jnp.int32)
+        gids = jnp.where(jnp.isfinite(negd),
+                         jnp.take_along_axis(ids, sel, axis=1)
+                         + shard * n_local, n_total)
+        gids = jax.lax.all_gather(gids, DB, axis=1, tiled=True)
+        d2g = jax.lax.all_gather(-negd, DB, axis=1, tiled=True)
+        n_hits = jax.lax.psum(n_hits, DB)
+        return gids, d2g, n_hits
+
+    return jax.jit(step)
+
+
+def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
+               k_blocks: int = 64):
+    """Sharded block-pruned exact search; same contract as search()."""
+    from ..core import embedding as emb_lib
+
+    is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
+    ndata = index.mesh.shape[DATA]
+    c = centers.shape[0]
+    blk, _ = mesh_lib.pad_to_multiple(
+        np.asarray(centers, np.int32 if is_kmers else np.float32),
+        ndata, axis=0, fill=0)
+    cemb = emb_lib.embed_kmers(blk) if is_kmers \
+        else np.asarray(blk, np.float32)
+    sh = NamedSharding(index.mesh, P(DATA, None))
+    step = _ivf_step(index, k_blocks)
+    gids, d2, n_hits = step(index.db_sorted, index.order,
+                            index.block_centroid, index.block_radius,
+                            jax.device_put(blk, sh),
+                            jax.device_put(np.asarray(cemb, np.float32), sh),
+                            jnp.float32(radius))
+    gids = np.asarray(gids)[:c]
+    d2 = np.asarray(d2)[:c]
+    if int((np.asarray(n_hits)[:c] > index.max_hits).sum()):
+        import warnings
+        warnings.warn("some centers exceeded max_hits; nearest kept")
+    # db padding sits at the array tail, so global ids < n_points are
+    # exactly the true rows
+    hc, hm = np.nonzero(gids < index.n_points)
+    return (hc.astype(np.int64), gids[hc, hm].astype(np.int64),
+            np.sqrt(np.maximum(d2[hc, hm], 0.0)).astype(np.float32))
+
+
 def exact_topk(db_kmers: np.ndarray, centers: np.ndarray, k: int,
                mesh: jax.sharding.Mesh):
     """Sharded brute-force top-k: per-shard exact distances + local top-k,

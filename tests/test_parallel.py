@@ -129,3 +129,42 @@ def test_fit_embedding_reaches_reference_stress():
     # Kruskal-stress SGD beats the shipped mdscale solution on mean abs
     # distance error (~0.34 vs ~0.51); assert at least parity with margin.
     assert err_fit < err_ref * 1.1
+
+
+def test_sharded_ivf_matches_exact(rng):
+    n, c, l = 1024, 12, 25
+    nfam = n // 32
+    fam = rng.integers(0, 20, (nfam, l), dtype=np.int32)
+    db = fam[rng.integers(0, nfam, n)].copy()
+    for i in range(n):
+        k = int(rng.poisson(2.0))
+        if k:
+            pos = rng.integers(0, l, k)
+            db[i, pos] = rng.integers(0, 20, k)
+    centers = fam[rng.choice(nfam, c, replace=False)]
+    radius = 35.0
+    msh = mesh_lib.make_mesh(8, data=2)
+    idx = sharded.build_ivf_index(db, jax.random.PRNGKey(0), msh,
+                                  block_size=16)
+    # k_blocks = all per-shard blocks -> pure triangle pruning -> exact
+    ci, ki, d = sharded.search_ivf(idx, centers, radius,
+                                   k_blocks=idx.blocks_per_shard)
+    gt_ci, gt_ki, gt_d = exact.search_radius(db, centers, radius)
+    assert set(zip(ci, ki)) == set(zip(gt_ci, gt_ki))
+    gt = {(a, b): v for a, b, v in zip(gt_ci, gt_ki, gt_d)}
+    for a, b, v in zip(ci, ki, d):
+        np.testing.assert_allclose(v, gt[(a, b)], atol=1e-2)
+
+
+def test_sharded_ivf_uneven_db(rng):
+    n, c, l = 509, 5, 10
+    db = rng.integers(0, 20, (n, l), dtype=np.int32)
+    centers = db[rng.choice(n, c, replace=False)]
+    msh = mesh_lib.make_mesh(8, data=2)
+    idx = sharded.build_ivf_index(db, jax.random.PRNGKey(1), msh,
+                                  block_size=16)
+    ci, ki, d = sharded.search_ivf(idx, centers, 25.0,
+                                   k_blocks=idx.blocks_per_shard)
+    assert (ki < n).all()
+    gt_ci, gt_ki, _ = exact.search_radius(db, centers, 25.0)
+    assert set(zip(ci, ki)) == set(zip(gt_ci, gt_ki))
