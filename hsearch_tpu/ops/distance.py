@@ -74,6 +74,25 @@ def kmer_sq_distance_matrix(q: jax.Array, db: jax.Array,
                    precision=_EXACT)
 
 
+def kmer_sq_distance_matrix_fast(q: jax.Array, db: jax.Array) -> jax.Array:
+    """(C, L), (N, L) int k-mers -> (C, N) squared embedding distances via
+    the norm identity on embedded points — an 8L-dim f32 GEMM at default
+    MXU precision instead of the 20L-dim 3-pass one-hot contraction
+    (~6x fewer MACs and ~6x cheaper per MAC; absolute error ~1e-3 on d2
+    from f32 cancellation, fine for search, not for bit-exact oracles).
+    """
+    coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+    c2 = jnp.sum(coords * coords, axis=-1)                     # (20,)
+    n, l = db.shape
+    d = coords.shape[1]
+    qe = jnp.take(coords, q.astype(jnp.int32), axis=0).reshape(-1, l * d)
+    de = jnp.take(coords, db.astype(jnp.int32), axis=0).reshape(n, l * d)
+    cross = jnp.dot(qe, de.T, preferred_element_type=jnp.float32)
+    q2 = jnp.sum(jnp.take(c2, q), axis=-1)                     # (C,)
+    p2 = jnp.sum(jnp.take(c2, db), axis=-1)                    # (N,)
+    return jnp.maximum(q2[:, None] + p2[None, :] - 2.0 * cross, 0.0)
+
+
 def kmer_blosum_score_matrix(q: jax.Array, db: jax.Array) -> jax.Array:
     """(C, L), (N, L) -> (C, N) ungapped BLOSUM62 scores (one GEMM)."""
     b62 = jnp.asarray(blosum.BLOSUM62, jnp.float32)

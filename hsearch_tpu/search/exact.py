@@ -24,22 +24,26 @@ def _center_blocks(centers: np.ndarray, block: int):
         yield s, centers[s:s + block]
 
 
-@functools.partial(jax.jit, static_argnames=("is_kmers",))
-def _dist_block(centers, db, is_kmers: bool):
+@functools.partial(jax.jit, static_argnames=("is_kmers", "fast"))
+def _dist_block(centers, db, is_kmers: bool, fast: bool = False):
     if is_kmers:
+        if fast:
+            return distance.kmer_sq_distance_matrix_fast(centers, db)
         return distance.kmer_sq_distance_matrix(centers, db)
     return distance.point_vs_kmer_sq_distance(centers, db)
 
 
-@functools.partial(jax.jit, static_argnames=("is_kmers", "max_hits"))
-def _radius_block_compact(centers, db, r2, is_kmers: bool, max_hits: int):
+@functools.partial(jax.jit, static_argnames=("is_kmers", "max_hits",
+                                             "fast"))
+def _radius_block_compact(centers, db, r2, is_kmers: bool, max_hits: int,
+                          fast: bool = False):
     """Distance block + on-device hit compaction (top max_hits by distance).
 
     Returns (ids (C, k) with sentinel N, d2 (C, k), n_hits (C,)); only the
     compacted result crosses to the host — essential when the device is a
     remote TPU and the dense (C, N) block would be transferred otherwise.
     """
-    d2 = _dist_block(centers, db, is_kmers)
+    d2 = _dist_block(centers, db, is_kmers, fast)
     n = d2.shape[1]
     hits = d2 <= r2
     n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
@@ -51,7 +55,8 @@ def _radius_block_compact(centers, db, r2, is_kmers: bool, max_hits: int):
 
 
 def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
-                  center_block: int = 256, max_hits: int | None = None):
+                  center_block: int = 256, max_hits: int | None = None,
+                  fast: bool = False):
     """All (center, kmer) pairs with embedding distance <= radius.
 
     db_kmers: (N, L) int; centers: (C, L) int k-mers or (C, 8L) real points.
@@ -73,14 +78,16 @@ def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
     truncated = 0
     for s, blk in _center_blocks(centers, center_block):
         if max_hits is None:
-            d2 = np.asarray(_dist_block(jnp.asarray(blk), db, is_kmers))
+            d2 = np.asarray(_dist_block(jnp.asarray(blk), db, is_kmers,
+                                        fast))
             hit_c, hit_k = np.nonzero(d2 <= r2)
             ci.append(hit_c + s)
             ki.append(hit_k)
             dd.append(np.sqrt(d2[hit_c, hit_k]))
         else:
             ids, d2, n_hits = _radius_block_compact(
-                jnp.asarray(blk), db, jnp.float32(r2), is_kmers, max_hits)
+                jnp.asarray(blk), db, jnp.float32(r2), is_kmers, max_hits,
+                fast)
             ids = np.asarray(ids)
             d2 = np.asarray(d2)
             truncated += int((np.asarray(n_hits) > max_hits).sum())

@@ -214,3 +214,15 @@ def test_weight_function():
     assert abs(evaluate.weight(124.0, 200) - 0.01) < 1e-12
     with pytest.raises(ValueError):
         evaluate.weight(201.0, 200)
+
+
+def test_fast_distance_matches_exact(rng):
+    import jax.numpy as jnp
+    from hsearch_tpu.ops import distance as D
+    q = rng.integers(0, 20, (16, 25)).astype(np.int32)
+    db = rng.integers(0, 20, (200, 25)).astype(np.int32)
+    a = np.asarray(D.kmer_sq_distance_matrix(jnp.asarray(q),
+                                             jnp.asarray(db)))
+    b = np.asarray(D.kmer_sq_distance_matrix_fast(jnp.asarray(q),
+                                                  jnp.asarray(db)))
+    np.testing.assert_allclose(a, b, atol=2e-2)
