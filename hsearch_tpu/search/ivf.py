@@ -115,14 +115,20 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     """
     n, l = db_kmers.shape
     km = jnp.asarray(db_kmers, jnp.int32)
-    # embed on device: only the integer k-mers cross host->device (the
-    # (N, 8L) float matrix is 8x larger and dominated build time on a
-    # remote TPU)
-    coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
-    pts = jnp.take(coords, km, axis=0).reshape(n, l * coords.shape[1])
     if n_cells is None:
         n_cells = max(1, n // block_size)
-    cells = np.asarray(_kmeans_cells(pts, key, n_cells, kmeans_iters))
+
+    # stage 1 (one jit): embed on device + cell assignment.  Only the
+    # integer k-mers cross host->device; only the (N,) cell ids cross
+    # back.  Keeping this a single program matters on remote TPUs, where
+    # every eager op is a separate (slow) remote compilation.
+    @functools.partial(jax.jit, static_argnames=("nc", "iters"))
+    def _stage1(km, key, nc, iters):
+        coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+        pts = jnp.take(coords, km, axis=0).reshape(n, l * coords.shape[1])
+        return _kmeans_cells(pts, key, nc, iters)
+
+    cells = np.asarray(_stage1(km, key, nc=n_cells, iters=kmeans_iters))
     order = np.argsort(cells, kind="stable").astype(np.int32)
     sorted_cells = cells[order]
     # cut cell-aligned blocks: pad each cell's run to a block_size multiple
@@ -138,17 +144,17 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     order_blocks = flat.reshape(-1, block_size)
     b = order_blocks.shape[0]
 
-    km_pad = jnp.concatenate([km, jnp.zeros((1, l), jnp.int32)], axis=0)
-    db_sorted = jnp.take(km_pad, jnp.asarray(order_blocks), axis=0)
-
-    # bound each block, scanning in chunks so the (chunk, bs, D) embedding
+    # stage 2 (one jit): pad + gather the block-sorted database and bound
+    # each block, scanning in chunks so the (chunk, bs, D) embedding
     # intermediate stays small (the unchunked form OOMs at millions of rows)
     bchunk = 4096
     bpad = (-b) % bchunk
 
     @jax.jit
-    def block_bounds(db_sorted, order_blocks):
+    def _stage2(km, order_blocks):
         coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+        km_pad = jnp.concatenate([km, jnp.zeros((1, l), jnp.int32)], axis=0)
+        db_sorted = jnp.take(km_pad, order_blocks, axis=0)
         dbp = jnp.concatenate(
             [db_sorted, jnp.zeros((bpad, block_size, l), jnp.int32)])
         obp = jnp.concatenate(
@@ -168,10 +174,12 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
             return None, (cent, jnp.sqrt(jnp.max(d2, axis=1)))
 
         _, (cent, rad) = jax.lax.scan(body, None, (dbp, obp))
-        return cent.reshape(-1, cent.shape[-1])[:b], rad.reshape(-1)[:b]
+        return (db_sorted,
+                cent.reshape(-1, cent.shape[-1])[:b], rad.reshape(-1)[:b])
 
-    cent, rad = block_bounds(db_sorted, jnp.asarray(order_blocks))
-    return IVFIndex(db_sorted=db_sorted, order=jnp.asarray(order_blocks),
+    ob_dev = jnp.asarray(order_blocks)
+    db_sorted, cent, rad = _stage2(km, ob_dev)
+    return IVFIndex(db_sorted=db_sorted, order=ob_dev,
                     block_centroid=cent, block_radius=rad, n_points=n)
 
 
