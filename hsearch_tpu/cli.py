@@ -297,6 +297,66 @@ def cmd_stockholm(args):
     print(f"[{len(centers)} centers -> {args.output}]", file=sys.stderr)
 
 
+def cmd_index_build(args):
+    """Build a search index once and checkpoint it (the reference's
+    unrealized '//serialize' TODO, hash_search.cpp:254)."""
+    import jax
+    from .search import ivf, motif
+    from .utils import checkpoint, stats
+    import json
+    _, dk, _ = _read_kmer_input(args.database, args.kmer_len)
+    key = jax.random.PRNGKey(args.seed)
+    if args.engine == "ivf":
+        index = ivf.build_index(dk, key, block_size=args.block_size)
+    else:
+        cfg = motif.MotifSearchConfig(hash_k=args.hash_k,
+                                      hash_l=args.hash_l, w=args.width)
+        index = motif.build_index(dk, key, cfg)
+    checkpoint.save_index(args.output, index)
+    print(json.dumps(stats.index_stats(index))[:400], file=sys.stderr)
+    print(f"[index -> {args.output}]", file=sys.stderr)
+
+
+def cmd_serve(args):
+    """Persistent query loop: one process keeps the index on device and
+    answers motif queries line by line (build cost amortized across a
+    serving session — the reference re-reads and re-hashes the database
+    on every invocation)."""
+    from .core import alphabet
+    from .search import ivf, motif
+    from .utils import checkpoint
+    index = checkpoint.load_index(args.index)
+    is_ivf = isinstance(index, ivf.IVFIndex)
+    kmer_len = index.kmer_len
+    names, dk, _ = (None, None, None)
+    print(f"[serving {'ivf' if is_ivf else 'lsh'} index: "
+          f"{index.n_points if is_ivf else index.num_points} points, "
+          f"L={kmer_len}; query = one sequence per line, blank to quit]",
+          file=sys.stderr)
+    cfg = motif.MotifSearchConfig(radius=args.radius,
+                                  probes=args.probes) if not is_ivf else None
+    fin = open(args.input) if args.input else sys.stdin
+    for line in fin:
+        seq = line.strip().upper()
+        if not seq:
+            break
+        if seq.startswith(">"):
+            continue
+        if len(seq) != kmer_len:
+            print(f"# query must be length {kmer_len}", file=sys.stderr)
+            continue
+        q = alphabet.encode(seq).astype(np.int32)[None, :]
+        if is_ivf:
+            ci, ki, dd = ivf.search(index, q, args.radius,
+                                    k_blocks=args.k_blocks)
+        else:
+            ci, ki, dd = motif.search(index, q, cfg)
+        order = np.argsort(dd)
+        for j in order:
+            print(f"{seq} {int(ki[j])} {dd[j]:g}")
+        print(f"# {len(ki)} hits", file=sys.stderr)
+
+
 def cmd_fit_embedding(args):
     from .parallel import train
     coords = train.fit_embedding(dim=args.dim, steps=args.steps,
@@ -415,6 +475,23 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-l", "--length", type=int, default=25)
     q.add_argument("--sample-every", type=int, default=1)
     q.set_defaults(func=cmd_stockholm)
+
+    q = sub.add_parser("index-build")
+    q.add_argument("-d", "--database", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-l", "--kmer-len", type=int, default=25)
+    q.add_argument("--engine", choices=("lsh", "ivf"), default="ivf")
+    q.add_argument("--block-size", type=int, default=32)
+    common_lsh(q)
+    q.set_defaults(func=cmd_index_build)
+
+    q = sub.add_parser("serve")
+    q.add_argument("-i", "--index", required=True)
+    q.add_argument("--input", help="query file (default stdin)")
+    q.add_argument("-T", "--radius", type=float, default=35.0)
+    q.add_argument("--k-blocks", type=int, default=64)
+    q.add_argument("--probes", type=int, default=8)
+    q.set_defaults(func=cmd_serve)
 
     q = sub.add_parser("fit-embedding")
     q.add_argument("-o", "--output", required=True)

@@ -154,3 +154,20 @@ def test_kmer2coordinates_roundtrip(tmp_path):
     from hsearch_tpu.core import embedding
     want = embedding.embed_kmers(alphabet.encode("ARNDCQEGHI")[None, :])
     np.testing.assert_allclose(pts[0], want[0], atol=1e-4)
+
+
+def test_index_build_and_serve(tmp_path, kmer_fasta, capsys):
+    idx_path = str(tmp_path / "idx.npz")
+    cli.main(["index-build", "-d", kmer_fasta, "-o", idx_path,
+              "-l", "10", "--engine", "ivf"])
+    # serve: query the first k-mer of the db against the saved index
+    first = open(kmer_fasta).read().splitlines()[1]
+    qfile = tmp_path / "q.txt"
+    qfile.write_text(first + "\n")
+    cli.main(["serve", "-i", idx_path, "--input", str(qfile),
+              "-T", "25", "--k-blocks", "64"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l and not l.startswith("#")]
+    assert lines, out
+    # self-hit at distance 0 is present
+    assert any(float(l.split()[2]) < 1e-3 for l in lines)
