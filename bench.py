@@ -43,6 +43,16 @@ def protein_like_db(rng, n, l, family_size=64, query_n=256):
 def main():
     import jax
 
+    # persistent compilation cache: repeat bench runs (and repeat builds
+    # in production) skip the multi-minute remote compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/hsearch_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     from hsearch_tpu.search import ivf, exact, evaluate
 
     on_tpu = jax.default_backend() != "cpu"

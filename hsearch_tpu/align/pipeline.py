@@ -99,11 +99,19 @@ class ProteinSearcher:
     # -- internals --------------------------------------------------------
     def _pairs_for_query(self, qseq: np.ndarray):
         """All (qpos, dpos) candidate seed pairs for one query sequence."""
-        q = jnp.asarray(qseq, jnp.int32)
-        qstarts = jnp.asarray(np.array([0, len(qseq)]), jnp.int32)
+        # pad the query to a length bucket so distinct protein lengths
+        # share compiled programs (every length would otherwise trigger a
+        # fresh jit — ruinous on a remote TPU); padding residues are
+        # "unknown", which can never seed or extend
+        true_len = len(qseq)
+        bucket = -(-max(true_len, seed_index.SEED_LEN) // 128) * 128
+        qpad = np.full(bucket, 20, np.int32)
+        qpad[:true_len] = qseq
+        q = jnp.asarray(qpad, jnp.int32)
+        qstarts = jnp.asarray(np.array([0, true_len]), jnp.int32)
         codes, valid = seed_index.query_probe_codes(q, qstarts)
         # query group at seed position + 9 (4th suffix residue)
-        g = np.asarray(seed_index._GROUP21)[np.minimum(qseq, 20)]
+        g = np.asarray(seed_index._GROUP21)[np.minimum(qpad, 20)]
         off = seed_index.MER + seed_index.NARROW
         qgrp10 = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
         cand = seed_index.probe(self.index, codes,
@@ -134,7 +142,12 @@ class ProteinSearcher:
         out = {k: [] for k in ("score", "match", "q_beg", "q_end",
                                "d_beg", "d_end")}
         subj = []
-        qdev = jnp.asarray(qseq, jnp.int32)
+        # same length-bucket padding as _pairs_for_query: shared programs
+        true_len = len(qseq)
+        bucket = -(-max(true_len, seed_index.SEED_LEN) // 128) * 128
+        qpad = np.full(bucket, 20, np.int32)
+        qpad[:true_len] = qseq
+        qdev = jnp.asarray(qpad, jnp.int32)
         ddev = self.index.seq
         for s in range(0, qpos.shape[0], p.pair_batch):
             qp = qpos[s:s + p.pair_batch]
