@@ -57,8 +57,9 @@ def main():
 
     on_tpu = jax.default_backend() != "cpu"
     # sized so one bench run (including first-compile over a remote TPU
-    # tunnel) stays well inside a ten-minute budget
-    n = 1 << 19 if on_tpu else 1 << 16
+    # tunnel) stays inside a ten-minute budget; the persistent compile
+    # cache above makes repeat runs much faster
+    n = 1 << 20 if on_tpu else 1 << 16
     c = 256 if on_tpu else 64
     l = 25
     radius = 35.0

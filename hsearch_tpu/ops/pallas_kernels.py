@@ -1,0 +1,90 @@
+"""Pallas TPU kernels for the hot search ops.
+
+The compute path is mostly XLA-fused GEMMs; these kernels cover the spots
+where explicit fusion/placement wins over XLA's defaults:
+
+  * ``sq_distance_prune``: tiled q @ centroids^T on the MXU with the
+    distance epilogue (||q||^2 + ||c||^2 - 2 q.c), the sqrt, and the
+    triangle-inequality liveness test (d <= r + radius) fused into the
+    same VMEM tile — the (C, B) distance matrix never round-trips HBM in
+    f32; only the masked key matrix used for top-k selection is written.
+
+Kernels follow the pallas_guide patterns: 128-aligned tiles, explicit
+VMEM block specs, ``preferred_element_type`` on every dot.  On CPU (unit
+tests, virtual meshes) they run in interpreter mode automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_TC = 128   # query tile (sublane-aligned)
+_TB = 256   # centroid tile (lane-aligned)
+
+
+def _prune_kernel(q_ref, c_ref, q2_ref, c2_ref, rad_ref, r_ref, out_ref):
+    # q tile (TC, D), c tile (TB, D) -> keys (TC, TB); all operands 2-D
+    # (TPU tiles are (sublane, lane); 1-D refs do not legalize)
+    cross = jnp.dot(q_ref[:], c_ref[:].T,
+                    preferred_element_type=jnp.float32)      # MXU
+    d2 = q2_ref[:] + c2_ref[:] - 2.0 * cross                 # (TC,1)+(1,TB)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    alive = d <= r_ref[0, 0] + rad_ref[:]
+    out_ref[:] = jnp.where(alive, d, jnp.inf)
+
+
+def _pad_to(x, m, axis, fill=0.0):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sq_distance_prune(q_emb: jax.Array, centroids: jax.Array,
+                      radii: jax.Array, r: jax.Array,
+                      interpret: bool | None = None) -> jax.Array:
+    """(C, D) queries vs (B, D) block centroids -> (C, B) pruned keys.
+
+    key[c, b] = distance(q_c, centroid_b) where the block can contain a
+    hit (d <= r + radius_b), else +inf — exactly the liveness test of
+    search/ivf.py's ``_search_block``, fused behind one pallas_call.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    c, d = q_emb.shape
+    b = centroids.shape[0]
+    qp = _pad_to(jnp.asarray(q_emb, jnp.float32), _TC, 0)
+    cp = _pad_to(jnp.asarray(centroids, jnp.float32), _TB, 0)
+    radp = _pad_to(jnp.asarray(radii, jnp.float32), _TB, 0,
+                   fill=-np.inf)                 # padding never survives
+    q2 = jnp.sum(qp * qp, axis=1).reshape(-1, 1)        # (Cp, 1)
+    c2 = jnp.sum(cp * cp, axis=1).reshape(1, -1)        # (1, Bp)
+    radp = radp.reshape(1, -1)                          # (1, Bp)
+    grid = (qp.shape[0] // _TC, cp.shape[0] // _TB)
+    out = pl.pallas_call(
+        _prune_kernel,
+        out_shape=jax.ShapeDtypeStruct((qp.shape[0], cp.shape[0]),
+                                       jnp.float32),
+        grid=grid,
+        in_specs=[
+            # literal 0 in an index map traces as i64 on this JAX build
+            # and fails Mosaic legalization; 0*i stays i32
+            pl.BlockSpec((_TC, d), lambda i, j: (i, 0 * j)),
+            pl.BlockSpec((_TB, d), lambda i, j: (j, 0 * i)),
+            pl.BlockSpec((_TC, 1), lambda i, j: (i, 0 * j)),
+            pl.BlockSpec((1, _TB), lambda i, j: (0 * i, j)),
+            pl.BlockSpec((1, _TB), lambda i, j: (0 * i, j)),
+            pl.BlockSpec((1, 1), lambda i, j: (0 * i, 0 * j)),
+        ],
+        out_specs=pl.BlockSpec((_TC, _TB), lambda i, j: (i, j)),
+        interpret=interpret,
+    )(qp, cp, q2, c2, radp, jnp.asarray(r, jnp.float32).reshape(1, 1))
+    return out[:c, :b]

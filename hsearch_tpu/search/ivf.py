@@ -40,6 +40,12 @@ from ..ops import distance
 from .motif import _center_ptables
 
 
+def _use_pallas() -> bool:
+    """Opt-in fused Pallas prune kernel (HSEARCH_PALLAS=1)."""
+    import os
+    return os.environ.get("HSEARCH_PALLAS", "0") == "1"
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class IVFIndex:
@@ -194,12 +200,17 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     n = index.n_points
     bs = index.block_size
     l = index.kmer_len
-    dblk = jnp.sqrt(distance.sq_distance_matrix(
-        centers_emb, index.block_centroid))                 # (C, B)
-    alive = dblk <= r + index.block_radius[None, :]
-    n_alive = jnp.sum(alive, axis=1).astype(jnp.int32)
-    # nearest k_blocks surviving blocks per center
-    key = jnp.where(alive, dblk, jnp.inf)
+    if _use_pallas():
+        # fused distance + triangle-test kernel (ops/pallas_kernels.py)
+        from ..ops import pallas_kernels
+        key = pallas_kernels.sq_distance_prune(
+            centers_emb, index.block_centroid, index.block_radius, r)
+    else:
+        dblk = jnp.sqrt(distance.sq_distance_matrix(
+            centers_emb, index.block_centroid))             # (C, B)
+        alive = dblk <= r + index.block_radius[None, :]
+        key = jnp.where(alive, dblk, jnp.inf)
+    n_alive = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
     kb = min(k_blocks, key.shape[1])
     neg, blk_ids = jax.lax.top_k(-key, kb)                  # (C, kb)
     blk_alive = jnp.isfinite(neg)

@@ -1,0 +1,29 @@
+"""Pallas kernel tests (interpreter mode on CPU)."""
+
+import numpy as np
+
+from hsearch_tpu.ops import distance as D
+from hsearch_tpu.ops import pallas_kernels as pk
+
+
+def test_prune_kernel_matches_reference(rng):
+    q = rng.normal(0, 10, (200, 80)).astype(np.float32)
+    c = rng.normal(0, 10, (300, 80)).astype(np.float32)
+    rad = np.abs(rng.normal(0, 5, 300)).astype(np.float32)
+    r = 30.0
+    out = np.asarray(pk.sq_distance_prune(q, c, rad, r))
+    d = np.sqrt(np.maximum(np.asarray(D.sq_distance_matrix(q, c)), 0))
+    want = np.where(d <= r + rad[None, :], d, np.inf)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-3)
+
+
+def test_prune_kernel_in_ivf(rng, monkeypatch):
+    import jax
+    from hsearch_tpu.search import exact, ivf
+    monkeypatch.setenv("HSEARCH_PALLAS", "1")
+    db = rng.integers(0, 20, (512, 10), dtype=np.int32)
+    centers = db[:8].copy()
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
+    ci, ki, d = ivf.search(idx, centers, 25.0, k_blocks=idx.num_blocks)
+    gci, gki, _ = exact.search_radius(db, centers, 25.0)
+    assert set(zip(ci, ki)) == set(zip(gci, gki))
