@@ -198,7 +198,8 @@ def cmd_evaluate2(args):
         paths = [args.result]
     for p in paths:
         found = [(a, b) for a, b, _ in hio.read_triples(p)]
-        rep = evaluate.weighted_recall(tp, td, found, args.radius)
+        rep = evaluate.weighted_recall(tp, td, found, args.radius,
+                                       weighting=args.weighting)
         print(f"{p} ACCURACY {rep.recall}")
 
 
@@ -433,6 +434,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-r", "--result", required=True,
                    help="result file or directory of result files")
     q.add_argument("-T", "--radius", type=float, default=200.0)
+    q.add_argument("--weighting", choices=("search", "pivot"),
+                   default="pivot",
+                   help="'pivot' = evaluate2.cpp's 49.38 weighting")
     q.set_defaults(func=cmd_evaluate2)
 
     q = sub.add_parser("postprocess")

@@ -31,6 +31,17 @@ def weight(dis: float, radius: float) -> float:
     return w
 
 
+PIVOT2 = 49.38   # evaluate2.cpp:63
+
+
+def weight2(dis: float) -> float:
+    """The offline evaluator's pivot-49.38 weighting (evaluate2.cpp:62-71):
+    1 - d/(2*49.38) below the pivot, min(d/(2*49.38), 1) above."""
+    if dis > PIVOT2:
+        return min(dis / (2 * PIVOT2), 1.0)
+    return 1.0 - dis / (2 * PIVOT2)
+
+
 def weight_array(dis: np.ndarray) -> np.ndarray:
     """Vectorized weight()."""
     dis = np.asarray(dis, np.float64)
@@ -50,19 +61,24 @@ class RecallReport:
 
 
 def weighted_recall(truth_pairs, truth_dist, found_pairs,
-                    radius: float) -> RecallReport:
+                    radius: float,
+                    weighting: str = "search") -> RecallReport:
     """Distance-weighted recall of ``found`` against exact ``truth``.
 
     truth_pairs / found_pairs: iterables of hashable (center, kmer) keys;
     truth_dist: exact distances aligned with truth_pairs.
+    weighting: "search" = the in-run weight (motif_both_points.cpp:67-87);
+    "pivot" = the offline evaluator's 49.38 pivot (evaluate2.cpp:62-71).
     """
+    wfun = (lambda d: weight(d, radius)) if weighting == "search" \
+        else (lambda d: weight2(d))
     found = set(found_pairs)
     tp = fn = 0.0
     tp_map: dict[int, int] = {}
     fn_map: dict[int, int] = {}
     n_missed = 0
     for pair, dis in zip(truth_pairs, truth_dist):
-        w = weight(float(dis), radius)
+        w = wfun(float(dis))
         b = int(float(dis) * 100 / 10)  # same binning as :126
         if pair in found:
             tp += w

@@ -143,6 +143,38 @@ def _probe_verify(index: MotifIndex, centers: jax.Array,
     return hit_ids, -neg, n_hits
 
 
+def search_protein_db(db, centers: np.ndarray, key,
+                      config: MotifSearchConfig = MotifSearchConfig(),
+                      kmer_len: int | None = None):
+    """Best (center, distance) per database position — the kmer_search
+    semantic (kmer_search.cpp:85-127), with results actually returned
+    (the reference builds its results map and never writes it, :89-126).
+
+    db: core.io.ProteinDB.  Returns (best_center (P,) int32 with -1 for
+    no hit, best_dist (P,) f32) over all valid k-mer positions, plus the
+    (P,) flat position array.
+    """
+    from ..core import alphabet
+    l = kmer_len or centers.shape[1]
+    seq = np.asarray(db.seq)
+    starts = np.asarray(db.starts)
+    wins = alphabet.kmer_view(seq.astype(np.int64), l)
+    pos = np.arange(len(wins))
+    pid = np.searchsorted(starts, pos, side="right") - 1
+    ok = (pos + l <= starts[pid + 1]) & (wins < 20).all(axis=1)
+    km = wins[ok].astype(np.int32)
+    positions = pos[ok]
+    index = build_index(km, key, config)
+    ci, ki, dd = search(index, centers, config)
+    best_center = np.full(len(km), -1, np.int32)
+    best_dist = np.full(len(km), np.inf, np.float32)
+    for c, k, d in zip(ci, ki, dd):
+        if d < best_dist[k]:
+            best_dist[k] = d
+            best_center[k] = c
+    return best_center, best_dist, positions
+
+
 def search(index: MotifIndex, centers: np.ndarray,
            config: MotifSearchConfig = MotifSearchConfig()):
     """LSH search: all (center, kmer) pairs found in probed buckets with

@@ -226,3 +226,32 @@ def test_fast_distance_matches_exact(rng):
     b = np.asarray(D.kmer_sq_distance_matrix_fast(jnp.asarray(q),
                                                   jnp.asarray(db)))
     np.testing.assert_allclose(a, b, atol=2e-2)
+
+
+def test_search_protein_db_best_center(rng):
+    import jax
+    from hsearch_tpu.core import io as hio
+    centers = _random_kmers(rng, 4, 10)
+    seqs = []
+    for i in range(4):
+        s = np.concatenate([_random_kmers(rng, 1, 15)[0], centers[i],
+                            _random_kmers(rng, 1, 15)[0]])
+        seqs.append(s)
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=[f"p{i}" for i in range(4)],
+                       seq=np.concatenate(seqs), starts=starts)
+    cfg = motif.MotifSearchConfig(hash_k=4, hash_l=8, w=50.0, radius=25.0)
+    bc, bd, pos = motif.search_protein_db(db, centers,
+                                          jax.random.PRNGKey(0), cfg)
+    # each planted center found at its exact position with distance 0
+    for i in range(4):
+        planted_pos = starts[i] + 15
+        j = np.nonzero(pos == planted_pos)[0][0]
+        assert bc[j] == i and bd[j] < 1e-3
+
+
+def test_weight2_pivot():
+    assert evaluate.weight2(0.0) == pytest.approx(1.0)
+    assert evaluate.weight2(49.38) == pytest.approx(0.5)
+    assert evaluate.weight2(60.0) == pytest.approx(60.0 / (2 * 49.38))
+    assert evaluate.weight2(200.0) == 1.0
