@@ -59,7 +59,7 @@ def main():
     # sized so one bench run (including first-compile over a remote TPU
     # tunnel) stays inside a ten-minute budget; the persistent compile
     # cache above makes repeat runs much faster
-    n = 1 << 20 if on_tpu else 1 << 16
+    n = 1 << 19 if on_tpu else 1 << 16
     c = 256 if on_tpu else 64
     l = 25
     radius = 35.0
