@@ -18,7 +18,6 @@ Reference quirks intentionally not reproduced (SURVEY §7):
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp
@@ -292,8 +291,6 @@ def refine_gapped(searcher: ProteinSearcher, qseq: np.ndarray,
     numpy fallback).  Scores/identity/extents update when the gapped
     alignment wins; e-values are recomputed with gapped statistics.
     """
-    import math as _math
-
     from .. import native_ext
     from ..core import blosum as _blosum
     cut = searcher.cutoffs

@@ -329,7 +329,6 @@ def cmd_serve(args):
     index = checkpoint.load_index(args.index)
     is_ivf = isinstance(index, ivf.IVFIndex)
     kmer_len = index.kmer_len
-    names, dk, _ = (None, None, None)
     print(f"[serving {'ivf' if is_ivf else 'lsh'} index: "
           f"{index.n_points if is_ivf else index.num_points} points, "
           f"L={kmer_len}; query = one sequence per line, blank to quit]",

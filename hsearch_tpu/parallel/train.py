@@ -17,8 +17,6 @@ variant) at TPU speed.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

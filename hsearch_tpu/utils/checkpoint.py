@@ -9,19 +9,10 @@ a multi-hour corpus build is paid once per corpus, not per query session.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 
 import jax.numpy as jnp
 import numpy as np
-
-_KINDS = {}
-
-
-def _register(kind: str, cls, array_fields: tuple, static_fields: tuple,
-              device_fields: tuple = ()):
-    _KINDS[kind] = (cls, array_fields, static_fields, device_fields)
-
 
 def save_index(path: str, index) -> None:
     """Serialize a MotifIndex / IVFIndex / SeedIndex to ``path`` (.npz)."""
