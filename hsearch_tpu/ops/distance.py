@@ -136,8 +136,8 @@ def ptable_distances(ptab: jax.Array, cand: jax.Array) -> jax.Array:
     c, m, l = cand.shape
     d2 = jnp.zeros((c, m), jnp.float32)
     for pos in range(l):
-        d2 = d2 + jnp.take_along_axis(ptab[:, pos, :], cand[:, :, pos],
-                                      axis=1)
+        idx = cand[:, :, pos].astype(jnp.int32)   # candidates may be int8
+        d2 = d2 + jnp.take_along_axis(ptab[:, pos, :], idx, axis=1)
     return d2
 
 
