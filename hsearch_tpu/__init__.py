@@ -9,23 +9,26 @@ preparation (ORF translation, Pfam STOCKHOLM centers, suffix-array k-mer
 dedup) and evaluation tooling.
 
 Layer map (TPU-first):
-  core/      alphabets, BLOSUM62, metric transform, MDS embedding, IO
-  ops/       device kernels: distances, segment/bucket ops, pallas kernels
-  lsh/       p-stable LSH (k-mers) and cosine KLSH (proteins)
-  search/    exact oracle + LSH motif search
-  cluster/   greedy (hclust2/3), centroid-merge (hclust), post-processing
-  align/     murphy10 seed index, x-drop extension, banded gapped DP,
-             Karlin-Altschul statistics, m8/aln output
-  parallel/  jax.sharding meshes, DB-sharded search, collective merges
-  cli/       command-line tools mirroring the reference binaries
+  core/        alphabets, BLOSUM62, metric transform, MDS embedding, IO,
+               corpus prep (ORF, STOCKHOLM, suffix array, sampling)
+  ops/         device kernels: distances, segment/bucket ops, Pallas
+  lsh/         p-stable LSH with query-directed multiprobe
+  search/      exact oracle, LSH motif search, block-pruned IVF engine
+  cluster/     greedy (hclust2/3), centroid-merge (hclust), KLSH protein
+               clustering (pcluster), union-find, post-processing
+  align/       murphy10 seed index, batched x-drop extension, banded
+               gapped DP, Karlin-Altschul statistics, m8/aln output
+  parallel/    jax.sharding meshes, DB-sharded search, collective merges,
+               data-parallel embedding training
+  metric       BLOSUM-Metric k-best enumeration + agreement evaluation
+  utils/       profiling, index checkpointing, bucket statistics
+  native_ext   ctypes bindings for native/ C++ host kernels
+  cli          command-line tools mirroring the reference binaries
 """
 
-import jax as _jax
-
-# 64-bit types are required for exact packed LSH bucket codes (int64) and
-# optional f64 distance parity with the reference's doubles.  All hot-path
-# arrays are explicitly f32/bf16/int32 — enabling x64 only widens what is
-# deliberately widened.
-_jax.config.update("jax_enable_x64", True)
+# The framework is deliberately 32-bit native (TPU lanes are 32-bit):
+# LSH codes pack into int32, seed codes into uint32, distances are f32
+# with f64 host-side statistics.  jax's x64 mode is left at its default
+# (off) — nothing here requires 64-bit device types.
 
 __version__ = "0.1.0"
