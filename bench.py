@@ -66,10 +66,13 @@ def main():
     rng = np.random.default_rng(0)
     db, centers = protein_like_db(rng, n, l, query_n=c)
 
+    print(f"# workload ready n={n} c={c}", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     index = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
     jax.block_until_ready(index.block_centroid)
     build_s = time.perf_counter() - t0
+    print(f"# build done {build_s:.1f}s B={index.num_blocks}",
+          file=sys.stderr, flush=True)
 
     kb, mh, cb = 128, 512, 128
     ivf.search(index, centers[:cb], radius, k_blocks=kb, max_hits=mh,
@@ -80,6 +83,7 @@ def main():
         ci, ki, dd = ivf.search(index, centers, radius, k_blocks=kb,
                                 max_hits=mh, center_block=cb)
     qps = c / ((time.perf_counter() - t0) / iters)
+    print(f"# ivf search done {qps:.1f} q/s", file=sys.stderr, flush=True)
 
     # TPU brute-force oracle: ground truth for recall + on-chip reference
     exact.search_radius(db, centers[:cb], radius, center_block=cb,
