@@ -516,10 +516,23 @@ def main(argv=None):
                    default=os.environ.get("HSEARCH_PLATFORM"),
                    help="force the JAX backend (the JAX_PLATFORMS env var "
                         "alone can be overridden by site customization)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     args = p.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if not args.no_compile_cache:
+        import jax
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/hsearch_xla"))
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0)
+        except Exception:
+            pass
     args.func(args)
 
 
