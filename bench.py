@@ -29,13 +29,13 @@ def protein_like_db(rng, n, l, family_size=64, query_n=256):
     fam = rng.integers(0, 20, (nfam, l), dtype=np.int32)
     which = rng.integers(0, nfam, n)
     db = fam[which].copy()
+    # vectorized per-row substitutions: flip positions where a per-cell
+    # uniform draw ranks below the row's Poisson flip count
     flips = rng.poisson(2.0, n).clip(0, l)
-    pos = rng.integers(0, l, (n, l))
+    ranks = np.argsort(rng.random((n, l)), axis=1)
+    mask = ranks < flips[:, None]
     sub = rng.integers(0, 20, (n, l))
-    for i in range(n):
-        k = flips[i]
-        if k:
-            db[i, pos[i, :k]] = sub[i, :k]
+    db = np.where(mask, sub, db).astype(np.int32)
     q = fam[rng.choice(nfam, query_n, replace=False)]
     return db, q
 
