@@ -7,8 +7,9 @@ Tool-to-reference map (file formats match on clean inputs):
     protein2datapoints   hclust/src/hclust/protein2datapoints.cpp
     motif-search         hclust/src/hclust/motif_both_points.cpp
     motif-search-exact   hclust/src/hclust/motif_both_points_noLSH.cpp
-    hclust2              hclust/src/hclust/hclust2.cpp (hclust3 = same
-                         algorithm, memory-lean variant — one flag here)
+    hclust2 / hclust3    hclust/src/hclust/hclust{2,3}.cpp (same greedy
+                         algorithm; the device path recomputes distances
+                         from integer k-mers, i.e. hclust3's trade-off)
     hclust               hclust/src/hclust/hclust.cpp
     pcluster             pcluster/src/pcluster/pcluster.cpp
     evaluate2            hclust/src/hclust/evaluate2.cpp
@@ -409,7 +410,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--not-less-than")
     q.set_defaults(func=cmd_motif_search_exact)
 
-    for tool, func in (("hclust2", cmd_hclust2), ("hclust", cmd_hclust)):
+    # hclust3 is the reference's memory-lean variant of the same greedy
+    # algorithm (hclust3.cpp); here the device path already recomputes
+    # distances from integer k-mers, so the alias shares the implementation
+    for tool, func in (("hclust2", cmd_hclust2), ("hclust3", cmd_hclust2),
+                       ("hclust", cmd_hclust)):
         q = sub.add_parser(tool)
         q.add_argument("-d", "--database", required=True)
         q.add_argument("-o", "--output", required=True)
