@@ -55,11 +55,13 @@ def main():
 
     from hsearch_tpu.search import ivf, exact, evaluate
 
+    import os
     on_tpu = jax.default_backend() != "cpu"
     # sized so one bench run (including first-compile over a remote TPU
-    # tunnel) stays inside a ten-minute budget; the persistent compile
-    # cache above makes repeat runs much faster
-    n = 1 << 19 if on_tpu else 1 << 16
+    # tunnel, whose latency varies by minutes) reliably finishes inside a
+    # ten-minute budget; HSEARCH_BENCH_N overrides (log2)
+    n = 1 << int(os.environ.get("HSEARCH_BENCH_N", "18" if on_tpu
+                                else "16"))
     c = 256 if on_tpu else 64
     l = 25
     radius = 35.0
