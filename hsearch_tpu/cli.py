@@ -358,6 +358,20 @@ def cmd_serve(args):
         print(f"# {len(ki)} hits", file=sys.stderr)
 
 
+def cmd_lsh_sweep(args):
+    import jax
+    from .lsh import tuning
+    _, dk, _ = _read_kmer_input(args.database, args.kmer_len)
+    _, ck, cpts = _read_kmer_input(args.centers, args.kmer_len)
+    centers = ck if ck is not None else cpts
+    pts = tuning.sweep(dk, centers, args.radius,
+                       key=jax.random.PRNGKey(args.seed))
+    for p in pts:
+        print(p.row())
+    b = tuning.best(pts, args.min_recall)
+    print(f"# best: {b.row()}")
+
+
 def cmd_fit_embedding(args):
     from .parallel import train
     coords = train.fit_embedding(dim=args.dim, steps=args.steps,
@@ -500,6 +514,15 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--k-blocks", type=int, default=64)
     q.add_argument("--probes", type=int, default=8)
     q.set_defaults(func=cmd_serve)
+
+    q = sub.add_parser("lsh-sweep")
+    q.add_argument("-d", "--database", required=True)
+    q.add_argument("-c", "--centers", required=True)
+    q.add_argument("-l", "--kmer-len", type=int, default=25)
+    q.add_argument("-T", "--radius", type=float, default=35.0)
+    q.add_argument("--min-recall", type=float, default=0.95)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(func=cmd_lsh_sweep)
 
     q = sub.add_parser("fit-embedding")
     q.add_argument("-o", "--output", required=True)

@@ -171,3 +171,14 @@ def test_index_build_and_serve(tmp_path, kmer_fasta, capsys):
     assert lines, out
     # self-hit at distance 0 is present
     assert any(float(l.split()[2]) < 1e-3 for l in lines)
+
+
+def test_lsh_sweep_cli(tmp_path, kmer_fasta, capsys):
+    centers = str(tmp_path / "c.fasta")
+    first = open(kmer_fasta).read().splitlines()[1]
+    with open(centers, "w") as f:
+        f.write(f">c0\n{first}\n")
+    cli.main(["lsh-sweep", "-d", kmer_fasta, "-c", centers, "-l", "10",
+              "-T", "25"])
+    out = capsys.readouterr().out
+    assert "recall=" in out and "# best:" in out
