@@ -124,5 +124,41 @@ def main():
           file=sys.stderr)
 
 
-if __name__ == "__main__":
+def _adaptive():
+    """Run main() at the largest workload that completes.
+
+    The remote-TPU tunnel's compile/transfer latency varies by minutes
+    between sessions; a fixed large N risks delivering nothing.  Try
+    decreasing sizes in subprocesses with per-attempt deadlines and
+    forward the first successful JSON line.
+    """
+    import os
+    import subprocess
+    if os.environ.get("_HSEARCH_BENCH_INNER") or \
+            os.environ.get("HSEARCH_BENCH_N"):
+        main()
+        return
+    for log2n, deadline in ((18, 480), (16, 300), (14, 240)):
+        env = dict(os.environ, _HSEARCH_BENCH_INNER="1",
+                   HSEARCH_BENCH_N=str(log2n))
+        try:
+            r = subprocess.run([sys.executable, "-u", __file__],
+                               env=env, timeout=deadline,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# n=2^{log2n} attempt timed out after {deadline}s; "
+                  "retrying smaller", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(r.stderr)
+        if r.returncode == 0 and r.stdout.strip():
+            sys.stdout.write(r.stdout)
+            return
+        print(f"# n=2^{log2n} attempt failed rc={r.returncode}",
+              file=sys.stderr, flush=True)
+    # last resort: in-process tiny run
+    os.environ["HSEARCH_BENCH_N"] = "13"
     main()
+
+
+if __name__ == "__main__":
+    _adaptive()
