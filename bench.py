@@ -133,27 +133,42 @@ def _adaptive():
     forward the first successful JSON line.
     """
     import os
+    import signal
     import subprocess
     if os.environ.get("_HSEARCH_BENCH_INNER") or \
             os.environ.get("HSEARCH_BENCH_N"):
         main()
         return
+    # the active child must die with us: an orphaned inner bench keeps
+    # the (single) TPU chip busy and starves every later process
+    child = None
+
+    def _reap(signum, frame):
+        if child is not None and child.poll() is None:
+            child.kill()
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _reap)
+    signal.signal(signal.SIGINT, _reap)
     for log2n, deadline in ((18, 480), (16, 300), (14, 240)):
         env = dict(os.environ, _HSEARCH_BENCH_INNER="1",
                    HSEARCH_BENCH_N=str(log2n))
+        child = subprocess.Popen([sys.executable, "-u", __file__],
+                                 env=env, stdout=subprocess.PIPE,
+                                 stderr=subprocess.PIPE, text=True)
         try:
-            r = subprocess.run([sys.executable, "-u", __file__],
-                               env=env, timeout=deadline,
-                               capture_output=True, text=True)
+            out, err = child.communicate(timeout=deadline)
         except subprocess.TimeoutExpired:
+            child.kill()
+            child.communicate()
             print(f"# n=2^{log2n} attempt timed out after {deadline}s; "
                   "retrying smaller", file=sys.stderr, flush=True)
             continue
-        sys.stderr.write(r.stderr)
-        if r.returncode == 0 and r.stdout.strip():
-            sys.stdout.write(r.stdout)
+        sys.stderr.write(err)
+        if child.returncode == 0 and out.strip():
+            sys.stdout.write(out)
             return
-        print(f"# n=2^{log2n} attempt failed rc={r.returncode}",
+        print(f"# n=2^{log2n} attempt failed rc={child.returncode}",
               file=sys.stderr, flush=True)
     # last resort: in-process tiny run
     os.environ["HSEARCH_BENCH_N"] = "13"
