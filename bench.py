@@ -150,7 +150,7 @@ def _adaptive():
 
     signal.signal(signal.SIGTERM, _reap)
     signal.signal(signal.SIGINT, _reap)
-    for log2n, deadline in ((18, 480), (16, 300), (14, 240)):
+    for log2n, deadline in ((19, 420), (16, 170)):
         env = dict(os.environ, _HSEARCH_BENCH_INNER="1",
                    HSEARCH_BENCH_N=str(log2n))
         child = subprocess.Popen([sys.executable, "-u", __file__],
