@@ -148,6 +148,39 @@ def _make_buckets(codes: np.ndarray, active_ids: np.ndarray,
     return out
 
 
+def _bucket_matrix(codes: np.ndarray, active_ids: np.ndarray,
+                   bucket_max: int, n_sentinel: int):
+    """Vectorized _make_buckets + _pad_buckets: one (NB, bucket_max)
+    sentinel-padded id matrix, no per-group Python loop (which costs
+    minutes at millions of points).  Ordering matches the loop version:
+    buckets ascend by code, members ascend by id within a bucket."""
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    sid = active_ids[order]
+    if len(sid) == 0:
+        return (np.empty((0, bucket_max), np.int64),
+                np.empty((0, bucket_max), bool))
+    grp = np.concatenate([[0], np.cumsum(sc[1:] != sc[:-1])])
+    counts = np.bincount(grp)
+    keep = counts[grp] >= 2          # singletons cannot absorb anything
+    sid, grp = sid[keep], grp[keep]
+    if len(sid) == 0:
+        return (np.empty((0, bucket_max), np.int64),
+                np.empty((0, bucket_max), bool))
+    _, grp = np.unique(grp, return_inverse=True)
+    counts = np.bincount(grp)
+    cap = -(-counts // bucket_max) * bucket_max
+    pad_base = np.concatenate([[0], np.cumsum(cap)])
+    gstart = np.concatenate([[0], np.cumsum(counts)])
+    rank = np.arange(len(sid)) - gstart[grp]
+    flat = np.full(int(pad_base[-1]), n_sentinel, np.int64)
+    flat[pad_base[grp] + rank] = sid
+    ids = flat.reshape(-1, bucket_max)
+    valid = ids < n_sentinel
+    rows = valid.sum(axis=1) >= 2    # drop length-1 remainder chunks
+    return ids[rows], valid[rows]
+
+
 def _pad_buckets(buckets: list[np.ndarray], n_sentinel: int, width: int):
     """-> (NB, width) id array (sentinel-padded), (NB, width) valid mask.
 
@@ -203,10 +236,10 @@ def cluster_greedy(kmers: np.ndarray, key: jax.Array,
                                               is_kmers=True)[0])
         active = merged != 2
         active_ids = np.nonzero(active)[0]
-        buckets = _make_buckets(codes[active], active_ids, config.bucket_max)
-        if not buckets:
+        ids, valid = _bucket_matrix(codes[active], active_ids,
+                                    config.bucket_max, n)
+        if ids.shape[0] == 0:
             continue
-        ids, valid = _pad_buckets(buckets, n, config.bucket_max)
         # pad the chunk dimension too: fixed (chunk, bucket_max) shapes
         nb = ids.shape[0]
         ck = config.bucket_chunk
