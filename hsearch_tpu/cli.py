@@ -42,9 +42,11 @@ def _read_kmer_input(path: str, k: int):
         head = f.read(4096)
     if head.lstrip().startswith(">"):
         db = hio.read_fasta(path)
-        names = db.names
-        km = np.stack([np.asarray(db.protein(i))[:k]
-                       for i in range(db.num_proteins)]).astype(np.int32)
+        keep = [i for i in range(db.num_proteins)
+                if len(db.protein(i)) >= k]
+        names = [db.names[i] for i in keep]
+        km = np.stack([np.asarray(db.protein(i))[:k] for i in keep]) \
+            .astype(np.int32) if keep else np.zeros((0, k), np.int32)
         return names, km, None
     names, pts = hio.read_datapoints(path, k * embedding.AA_DIM)
     # recover integer k-mers when the header carries them, else keep points
@@ -133,8 +135,10 @@ def cmd_hclust2(args):
     from .cluster import greedy
     from .core import alphabet, io as hio
     db = hio.read_fasta(args.database, seed=args.seed)
+    keep = [i for i in range(db.num_proteins)
+            if len(db.protein(i)) >= args.kmer_len]
     km = np.stack([np.asarray(db.protein(i))[:args.kmer_len]
-                   for i in range(db.num_proteins)]).astype(np.int32)
+                   for i in keep]).astype(np.int32)
     cfg = greedy.ClusterConfig(hash_k=args.hash_k, hash_l=args.hash_l,
                                w=args.width, radius=args.radius)
     res = greedy.cluster_greedy(km, jax.random.PRNGKey(args.seed), cfg)
@@ -151,8 +155,10 @@ def cmd_hclust(args):
     from .cluster import centroid
     from .core import io as hio
     db = hio.read_fasta(args.database, seed=args.seed)
+    keep = [i for i in range(db.num_proteins)
+            if len(db.protein(i)) >= args.kmer_len]
     km = np.stack([np.asarray(db.protein(i))[:args.kmer_len]
-                   for i in range(db.num_proteins)]).astype(np.int32)
+                   for i in keep]).astype(np.int32)
     cfg = centroid.CentroidConfig(hash_k=args.hash_k, hash_l=args.hash_l,
                                   w=args.width, radius=args.radius)
     groups = centroid.cluster_centroid(km, jax.random.PRNGKey(args.seed),
@@ -553,12 +559,15 @@ def main(argv=None):
     if not args.no_compile_cache:
         import jax
         try:
-            jax.config.update("jax_compilation_cache_dir",
-                              os.path.expanduser("~/.cache/hsearch_xla"))
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                              -1)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              0)
+            # cache only accelerator programs: CPU compiles are fast and
+            # CPU AOT entries are machine-feature sensitive across hosts
+            if jax.default_backend() != "cpu":
+                jax.config.update("jax_compilation_cache_dir",
+                                  os.path.expanduser("~/.cache/hsearch_xla"))
+                jax.config.update(
+                    "jax_persistent_cache_min_entry_size_bytes", -1)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0)
         except Exception:
             pass
     args.func(args)
