@@ -40,12 +40,10 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
         n_devices = len(devices)
     devices = devices[:n_devices]
     if data is None:
+        # largest power of two p with p*p <= n and n % p == 0
         data = 1
-        while data * 2 * data * 2 <= n_devices * 2 and n_devices % (data * 2) == 0:
-            if (data * 2) ** 2 <= n_devices:
-                data *= 2
-            else:
-                break
+        while (data * 2) ** 2 <= n_devices and n_devices % (data * 2) == 0:
+            data *= 2
     if n_devices % data:
         raise ValueError(f"data axis {data} does not divide {n_devices}")
     arr = np.asarray(devices).reshape(data, n_devices // data)

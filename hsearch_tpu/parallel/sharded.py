@@ -52,6 +52,8 @@ class ShardedMotifIndex:
     cand_max: int
     n_points: int                     # true (unpadded) database size
     max_hits: int = 256               # per-shard hit cap before the merge
+    probes: int = 1                   # multiprobe fan-out (as single-host)
+    _steps: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def n_local(self) -> int:
@@ -89,16 +91,20 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     if cand_max is None:
         cand_max = config.cand_max
     if cand_max is None:
-        # max bucket size across shards (host side, build-time only)
-        cand_max = 1
+        # max bucket size of any single per-shard table (columns are
+        # grouped by shard: the same code on different shards lives in
+        # different tables and must not be summed)
+        n_local = km.shape[0] // ndb
         sc = np.asarray(sorted_codes)
-        for t in range(sc.shape[0]):
-            _, counts = np.unique(sc[t], return_counts=True)
-            cand_max = max(cand_max, int(counts.max()))
+        cand_max = 1
+        for shard in range(ndb):
+            seg = sc[:, shard * n_local:(shard + 1) * n_local]
+            cand_max = max(cand_max, segment.max_bucket_size(seg))
     return ShardedMotifIndex(mesh=mesh, params=params,
                              sorted_codes=sorted_codes, perm=perm,
                              db_kmers=km, cand_max=int(cand_max),
-                             n_points=n, max_hits=config.max_hits)
+                             n_points=n, max_hits=config.max_hits,
+                             probes=max(1, config.probes))
 
 
 def _search_step(index: ShardedMotifIndex, is_kmers: bool):
@@ -116,18 +122,25 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
     kmer_len = index.kmer_len
 
     max_hits = index.max_hits
+    n_points = index.n_points
+    probes = index.probes
 
     @functools.partial(
         jax.shard_map, mesh=msh,
         in_specs=(P(None, DB), P(None, DB), P(DB, None), P(DATA, None),
                   P(), P(), P()),
         out_specs=(P(DATA, None), P(DATA, None), P(DATA)),
-        # outputs are replicated over ``db`` by the trailing all_gather/psum,
+        # outputs are replicated over ``db`` by the trailing all_gather/pmax,
         # which the static VMA checker cannot infer
         check_vma=False)
     def step(sorted_codes, perm, db_local, centers_local, a, b, r2):
         p = dataclasses.replace(index.params, a=a, b=b)
-        qcodes = pstable.hash_codes(centers_local, p, is_kmers=is_kmers).T
+        if probes > 1:
+            qcodes = pstable.multiprobe_codes(
+                centers_local, p, is_kmers, probes).transpose(1, 0, 2)
+        else:
+            qcodes = pstable.hash_codes(centers_local, p,
+                                        is_kmers=is_kmers).T
         tabs = segment.SortedTables(sorted_codes=sorted_codes, perm=perm)
         start, count = segment.probe(tabs, qcodes)
         count = jnp.minimum(count, cand_max)
@@ -138,20 +151,26 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
             [db_local, jnp.zeros((1, kmer_len), jnp.int32)], axis=0)
         cand = jnp.take(db_pad, ids, axis=0)                     # (C, M, L)
         d2 = distance.ptable_distances(ptab, cand)
-        hits = (ids < n_local) & (d2 <= r2)
+        shard = jax.lax.axis_index(DB).astype(jnp.int32)
+        # mask the zero-filled padding rows at the global tail: their
+        # local ids are < n_local on the last shard, but their global ids
+        # fall beyond the true database
+        real = (ids < n_local) & (shard * n_local + ids < n_points)
+        hits = real & (d2 <= r2)
         n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
         # compact on the shard BEFORE the collective: the all-gather moves
         # (C, max_hits) verified hits per shard, never raw candidate blocks
         d2m = jnp.where(hits, d2, jnp.inf)
         k = min(max_hits, d2m.shape[1])
         neg, sel = jax.lax.top_k(-d2m, k)
-        shard = jax.lax.axis_index(DB).astype(jnp.int32)
         gids = jnp.where(jnp.isfinite(neg),
                          jnp.take_along_axis(ids, sel, axis=1)
                          + shard * n_local, n_total)
         gids = jax.lax.all_gather(gids, DB, axis=1, tiled=True)
         d2g = jax.lax.all_gather(-neg, DB, axis=1, tiled=True)
-        n_hits = jax.lax.psum(n_hits, DB)
+        # overflow indicator: the WORST single shard vs the per-shard cap
+        # (a sum across shards would false-positive when hits are spread)
+        n_hits = jax.lax.pmax(n_hits, DB)
         return gids, d2g, n_hits
 
     return jax.jit(step)
@@ -167,26 +186,47 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
     ndata = index.mesh.shape[DATA]
     c = centers.shape[0]
-    blk, _ = mesh_lib.pad_to_multiple(
-        np.asarray(centers, np.int32 if is_kmers else np.float32),
-        ndata, axis=0, fill=0)
-    cdev = jax.device_put(
-        blk, NamedSharding(index.mesh, P(DATA, None)))
-    step = _search_step(index, is_kmers)
-    gids, d2, n_hits = step(index.sorted_codes, index.perm, index.db_kmers,
-                            cdev, index.params.a, index.params.b,
-                            jnp.float32(radius * radius))
-    gids = np.asarray(gids)[:c]
-    d2 = np.asarray(d2)[:c]
-    truncated = int((np.asarray(n_hits)[:c] > index.max_hits).sum())
+    # fixed center blocks: one compiled program regardless of C (jit
+    # caches by function identity, so the step itself is memoized on the
+    # index too)
+    cb = max(ndata, -(-min(c, 128 * ndata) // ndata) * ndata)
+    step = index._steps.get(("lsh", is_kmers, cb))
+    if step is None:
+        step = _search_step(index, is_kmers)
+        index._steps[("lsh", is_kmers, cb)] = step
+    arr = np.asarray(centers, np.int32 if is_kmers else np.float32)
+    out_c, out_k, out_d = [], [], []
+    truncated = 0
+    for s in range(0, c, cb):
+        blk = arr[s:s + cb]
+        pad = cb - blk.shape[0]
+        if pad:
+            blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
+        cdev = jax.device_put(blk, NamedSharding(index.mesh, P(DATA, None)))
+        gids, d2, n_hits = step(index.sorted_codes, index.perm,
+                                index.db_kmers, cdev, index.params.a,
+                                index.params.b,
+                                jnp.float32(radius * radius))
+        real = cb - pad
+        gids = np.asarray(gids)[:real]
+        d2 = np.asarray(d2)[:real]
+        truncated += int((np.asarray(n_hits)[:real] > index.max_hits).sum())
+        hc, hm = np.nonzero(gids < index.n_points)
+        out_c.append(hc + s)
+        out_k.append(gids[hc, hm])
+        out_d.append(np.sqrt(np.maximum(d2[hc, hm], 0.0)))
     if truncated:
         import warnings
         warnings.warn(
-            f"{truncated} centers exceeded per-shard max_hits="
-            f"{index.max_hits}; nearest hits kept")
-    hc, hm = np.nonzero(gids < index.n_points)
-    return (hc.astype(np.int64), gids[hc, hm].astype(np.int64),
-            np.sqrt(np.maximum(d2[hc, hm], 0.0)).astype(np.float32))
+            f"{truncated} centers filled a shard's max_hits="
+            f"{index.max_hits} slots; nearest hits kept — raise max_hits "
+            "for the full set")
+    if not out_c:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float32))
+    return (np.concatenate(out_c).astype(np.int64),
+            np.concatenate(out_k).astype(np.int64),
+            np.concatenate(out_d).astype(np.float32))
 
 
 @dataclasses.dataclass
@@ -207,6 +247,7 @@ class ShardedIVFIndex:
     n_points: int
     n_local: int                # padded rows per shard
     max_hits: int = 256
+    _steps: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def blocks_per_shard(self) -> int:
@@ -267,11 +308,13 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
     l = index.kmer_len
     max_hits = index.max_hits
 
+    n_points = index.n_points
+
     @functools.partial(
         jax.shard_map, mesh=msh,
         in_specs=(P(DB, None, None), P(DB, None), P(DB, None), P(DB),
                   P(DATA, None), P(DATA, None), P()),
-        out_specs=(P(DATA, None), P(DATA, None), P(DATA)),
+        out_specs=(P(DATA, None), P(DATA, None), P(DATA), P(DATA)),
         check_vma=False)
     def step(db_sorted, order, cent, rad, centers_local, cemb_local, r):
         dblk = jnp.sqrt(distance.sq_distance_matrix(cemb_local, cent))
@@ -287,19 +330,24 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
         ids = jnp.where(jnp.repeat(blk_alive, bs, axis=1), ids, n_local)
         ptab = motif._center_ptables(centers_local, l)
         d2 = distance.ptable_distances(ptab, cand)
-        hits = (ids < n_local) & (d2 <= r * r)
+        shard = jax.lax.axis_index(DB).astype(jnp.int32)
+        # mask zero-filled padding rows at the global tail (see
+        # _search_step): valid local id but out-of-range global id
+        real = (ids < n_local) & (shard * n_local + ids < n_points)
+        hits = real & (d2 <= r * r)
         n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
         d2m = jnp.where(hits, d2, jnp.inf)
         k = min(max_hits, d2m.shape[1])
         negd, sel = jax.lax.top_k(-d2m, k)
-        shard = jax.lax.axis_index(DB).astype(jnp.int32)
         gids = jnp.where(jnp.isfinite(negd),
                          jnp.take_along_axis(ids, sel, axis=1)
                          + shard * n_local, n_total)
         gids = jax.lax.all_gather(gids, DB, axis=1, tiled=True)
         d2g = jax.lax.all_gather(-negd, DB, axis=1, tiled=True)
-        n_hits = jax.lax.psum(n_hits, DB)
-        return gids, d2g, n_hits
+        # per-shard worst cases, for host-side overflow warnings
+        n_hits = jax.lax.pmax(n_hits, DB)
+        n_alive = jax.lax.pmax(n_alive, DB)
+        return gids, d2g, n_hits, n_alive
 
     return jax.jit(step)
 
@@ -309,31 +357,54 @@ def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
     """Sharded block-pruned exact search; same contract as search()."""
     from ..core import embedding as emb_lib
 
+    import warnings
+
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
     ndata = index.mesh.shape[DATA]
     c = centers.shape[0]
-    blk, _ = mesh_lib.pad_to_multiple(
-        np.asarray(centers, np.int32 if is_kmers else np.float32),
-        ndata, axis=0, fill=0)
-    cemb = emb_lib.embed_kmers(blk) if is_kmers \
-        else np.asarray(blk, np.float32)
+    cb = max(ndata, -(-min(c, 128 * ndata) // ndata) * ndata)
+    step = index._steps.get((k_blocks, cb))
+    if step is None:
+        step = _ivf_step(index, k_blocks)
+        index._steps[(k_blocks, cb)] = step
+    arr = np.asarray(centers, np.int32 if is_kmers else np.float32)
     sh = NamedSharding(index.mesh, P(DATA, None))
-    step = _ivf_step(index, k_blocks)
-    gids, d2, n_hits = step(index.db_sorted, index.order,
-                            index.block_centroid, index.block_radius,
-                            jax.device_put(blk, sh),
-                            jax.device_put(np.asarray(cemb, np.float32), sh),
-                            jnp.float32(radius))
-    gids = np.asarray(gids)[:c]
-    d2 = np.asarray(d2)[:c]
-    if int((np.asarray(n_hits)[:c] > index.max_hits).sum()):
-        import warnings
-        warnings.warn("some centers exceeded max_hits; nearest kept")
-    # db padding sits at the array tail, so global ids < n_points are
-    # exactly the true rows
-    hc, hm = np.nonzero(gids < index.n_points)
-    return (hc.astype(np.int64), gids[hc, hm].astype(np.int64),
-            np.sqrt(np.maximum(d2[hc, hm], 0.0)).astype(np.float32))
+    out_c, out_k, out_d = [], [], []
+    over_hits = over_blocks = 0
+    for s in range(0, c, cb):
+        blk = arr[s:s + cb]
+        pad = cb - blk.shape[0]
+        if pad:
+            blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
+        cemb = emb_lib.embed_kmers(blk) if is_kmers \
+            else np.asarray(blk, np.float32)
+        gids, d2, n_hits, n_alive = step(
+            index.db_sorted, index.order, index.block_centroid,
+            index.block_radius, jax.device_put(blk, sh),
+            jax.device_put(np.asarray(cemb, np.float32), sh),
+            jnp.float32(radius))
+        real = cb - pad
+        gids = np.asarray(gids)[:real]
+        d2 = np.asarray(d2)[:real]
+        over_hits += int((np.asarray(n_hits)[:real] > index.max_hits).sum())
+        over_blocks += int((np.asarray(n_alive)[:real] > k_blocks).sum())
+        hc, hm = np.nonzero(gids < index.n_points)
+        out_c.append(hc + s)
+        out_k.append(gids[hc, hm])
+        out_d.append(np.sqrt(np.maximum(d2[hc, hm], 0.0)))
+    if over_blocks:
+        warnings.warn(f"{over_blocks} centers had more than k_blocks="
+                      f"{k_blocks} surviving blocks on some shard; raise "
+                      "k_blocks for guaranteed-exact results")
+    if over_hits:
+        warnings.warn(f"{over_hits} centers filled a shard's max_hits="
+                      f"{index.max_hits} slots; nearest hits kept")
+    if not out_c:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float32))
+    return (np.concatenate(out_c).astype(np.int64),
+            np.concatenate(out_k).astype(np.int64),
+            np.concatenate(out_d).astype(np.float32))
 
 
 def exact_topk(db_kmers: np.ndarray, centers: np.ndarray, k: int,
@@ -347,6 +418,7 @@ def exact_topk(db_kmers: np.ndarray, centers: np.ndarray, k: int,
     """
     ndb, ndata = mesh.shape[DB], mesh.shape[DATA]
     n, l = db_kmers.shape
+    k = min(k, n)
     dbp, _ = mesh_lib.pad_to_multiple(np.asarray(db_kmers, np.int32), ndb,
                                       axis=0)
     c = centers.shape[0]
@@ -368,12 +440,15 @@ def exact_topk(db_kmers: np.ndarray, centers: np.ndarray, k: int,
         shard = jax.lax.axis_index(DB).astype(jnp.int32)
         pad_invalid = (shard * n_local + jnp.arange(n_local)) >= n
         d2 = jnp.where(pad_invalid[None, :], jnp.inf, d2)
-        neg, li = jax.lax.top_k(-d2, k)
+        # per-shard k is capped by the shard's row count (a global k up
+        # to n is legal even when it exceeds n_local)
+        k_local = min(k, n_local)
+        neg, li = jax.lax.top_k(-d2, k_local)
         gi = li + shard * n_local
         # gather each shard's top-k, then merge to a global top-k
-        negs = jax.lax.all_gather(neg, DB, axis=1, tiled=True)   # (C, ndb*k)
+        negs = jax.lax.all_gather(neg, DB, axis=1, tiled=True)
         gis = jax.lax.all_gather(gi, DB, axis=1, tiled=True)
-        neg2, sel = jax.lax.top_k(negs, k)
+        neg2, sel = jax.lax.top_k(negs, k)       # ndb*k_local >= k
         return jnp.take_along_axis(gis, sel, axis=1), -neg2
 
     dbd = jax.device_put(dbp, NamedSharding(mesh, P(DB, None)))

@@ -168,3 +168,78 @@ def test_sharded_ivf_uneven_db(rng):
     assert (ki < n).all()
     gt_ci, gt_ki, _ = exact.search_radius(db, centers, 25.0)
     assert set(zip(ci, ki)) == set(zip(gt_ci, gt_ki))
+
+
+def test_padding_rows_never_displace_real_hits(rng):
+    # n not divisible by the db axis -> zero-filled (poly-A) padding rows;
+    # an all-A center must get REAL near rows, not padding, in its
+    # per-shard max_hits slots (regression: padding displaced real hits)
+    n, l = 509, 10
+    db = rng.integers(1, 20, (n, l), dtype=np.int32)   # nothing is all-A
+    near = np.zeros((40, l), np.int32)
+    near[:, 0] = rng.integers(0, 3, 40)                # near-all-A rows
+    db[-40:] = near                                    # tail of LAST shard
+    centers = np.zeros((1, l), np.int32)               # all-A center
+    msh = mesh_lib.make_mesh(8, data=2)
+    cfg = motif.MotifSearchConfig(hash_k=2, hash_l=8, w=200.0, radius=40.0,
+                                  max_hits=8)
+    idx = sharded.build_index(db, jax.random.PRNGKey(0), msh, cfg)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ci, ki, d = sharded.search(idx, centers, radius=40.0)
+    assert len(ki) > 0
+    assert (ki < n).all()
+    # the nearest distances must match the oracle's nearest (before the
+    # fix, zero-distance padding rows displaced the real zero-distance
+    # planted rows from the per-shard top-k and the result lost them)
+    gt_ci, gt_ki, gt_d = exact.search_radius(db, centers, 40.0)
+    k = min(8, len(d), len(gt_d))
+    np.testing.assert_allclose(np.sort(d)[:k], np.sort(gt_d)[:k],
+                               atol=1e-3)
+    assert np.sort(d)[0] < 1e-3         # the planted 0-distance rows
+
+
+def test_exact_topk_k_exceeds_shard_rows(rng):
+    n, c, l, k = 40, 3, 10, 20          # k > n_local (= 5 on 8 db shards)
+    db = rng.integers(0, 20, (n, l), dtype=np.int32)
+    centers = rng.integers(0, 20, (c, l), dtype=np.int32)
+    msh = mesh_lib.make_mesh(8, data=1)
+    idx, dist = sharded.exact_topk(db, centers, k, msh)
+    assert idx.shape == (c, k)
+    d2 = embedding.DISTANCE_SQUARE[centers[:, None, :], db[None, :, :]]
+    d2 = d2.astype(np.float64).sum(-1)
+    for i in range(c):
+        np.testing.assert_allclose(np.sort(dist[i]) ** 2,
+                                   np.sort(d2[i])[:k], rtol=1e-4)
+
+
+def test_sharded_multiprobe_finds_superset(rng):
+    n, c, l = 512, 8, 10
+    db, centers = _db_with_planted(rng, n, c, l)
+    msh = mesh_lib.make_mesh(8, data=2)
+    key = jax.random.PRNGKey(5)
+    base = motif.MotifSearchConfig(hash_k=8, hash_l=4, w=50.0, radius=25.0,
+                                   probes=1)
+    multi = motif.MotifSearchConfig(hash_k=8, hash_l=4, w=50.0, radius=25.0,
+                                    probes=8)
+    hits1 = set(zip(*sharded.search(
+        sharded.build_index(db, key, msh, base), centers, 25.0)[:2]))
+    hits8 = set(zip(*sharded.search(
+        sharded.build_index(db, key, msh, multi), centers, 25.0)[:2]))
+    assert hits1 <= hits8
+    assert len(hits8) > len(hits1)      # multiprobe recovers extra recall
+
+
+def test_no_false_truncation_warning(rng):
+    # hits spread across shards but each shard under its cap: no warning
+    n, c, l = 256, 4, 10
+    db, centers = _db_with_planted(rng, n, c, l)
+    msh = mesh_lib.make_mesh(8, data=2)
+    cfg = motif.MotifSearchConfig(hash_k=4, hash_l=4, radius=25.0,
+                                  max_hits=16)
+    idx = sharded.build_index(db, jax.random.PRNGKey(1), msh, cfg)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")        # any warning -> test failure
+        sharded.search(idx, centers, radius=25.0)
