@@ -219,10 +219,13 @@ def extend_pairs(qseq, dseq, qpos, dpos, qlo, qhi, dlo, dhi,
         qaa, daa, q_seed - 1, d_seed - 1,
         jnp.maximum(xb_limit, 0), score, drop, -1)
 
+    gate_score = score          # post-greedy, pre-x-drop: the reference
+    gate_match = match          # gates on these (hash_search.cpp:593)
     score = score + xf_s + xb_s
     match = match + xf_m + xb_m
     return dict(
         score=score, match=match,
+        gate_score=gate_score, gate_match=gate_match,
         q_beg=q_seed - xb_ext, q_end=q_seed + local + xf_ext,
         d_beg=d_seed - xb_ext, d_end=d_seed + local + xf_ext,
         seed_q=q_seed, seed_d=d_seed, seed_span=local,

@@ -109,13 +109,25 @@ class ProteinSearcher:
         q = jnp.asarray(qpad, jnp.int32)
         qstarts = jnp.asarray(np.array([0, true_len]), jnp.int32)
         codes, valid = seed_index.query_probe_codes(q, qstarts)
+        # only the full-suffix probe matters here: the truncated variants
+        # match exclusively subjects with < 10 residues after the seed,
+        # which the SEED_LEN filter below discards anyway (the reference
+        # also skips them, hash_search.cpp:538-540) — probing them would
+        # be 4x the searchsorted/gather work for zero surviving pairs
+        codes = codes[:, :1]
         # query group at seed position + 9 (4th suffix residue)
         g = np.asarray(seed_index._GROUP21)[np.minimum(qpad, 20)]
         off = seed_index.MER + seed_index.NARROW
         qgrp10 = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
-        cand = seed_index.probe(self.index, codes,
-                                jnp.asarray(qgrp10, jnp.int32),
-                                self.params.cand_max)
+        cand, n_over = seed_index.probe(self.index, codes,
+                                        jnp.asarray(qgrp10, jnp.int32),
+                                        self.params.cand_max)
+        if int(n_over):
+            import warnings
+            warnings.warn(
+                f"{int(n_over)} seed buckets exceeded cand_max="
+                f"{self.params.cand_max}; raise SearchParams.cand_max to "
+                "extend every candidate of low-complexity seeds")
         cand = np.asarray(cand)
         valid = np.asarray(valid)
         qpos, slot = np.nonzero((cand >= 0) & valid[:, None])
@@ -134,11 +146,14 @@ class ProteinSearcher:
     def _extend(self, qseq: np.ndarray, qpos: np.ndarray, dpos: np.ndarray):
         """Batched device extension; returns host dict of result arrays."""
         p = self.params
-        drop = jnp.int32(round(self.cutoffs.ungap_ext_drop))
+        # floor + strict compare reproduces the reference's float test:
+        # continue while deficit <= 8.938 <=> integer deficit <= 8
+        drop = jnp.int32(int(self.cutoffs.ungap_ext_drop))
         pid = np.searchsorted(self.starts, dpos, side="right") - 1
         dlo = self.starts[pid]
         dhi = self.starts[pid + 1]
-        out = {k: [] for k in ("score", "match", "q_beg", "q_end",
+        out = {k: [] for k in ("score", "match", "gate_score",
+                               "gate_match", "q_beg", "q_end",
                                "d_beg", "d_end")}
         subj = []
         # same length-bucket padding as _pairs_for_query: shared programs
@@ -176,8 +191,8 @@ class ProteinSearcher:
         cut = self.cutoffs
         st = self.stat
         st.set_query(len(qseq))
-        keep = (res["score"] >= cut.ungap_ext_cut) & \
-               (res["match"] >= cut.min_match_for_expect)
+        keep = (res["gate_score"] >= cut.ungap_ext_cut) & \
+               (res["gate_match"] >= cut.min_match_for_expect)
         best: dict[tuple, Hit] = {}
         for i in np.nonzero(keep)[0]:
             score = int(res["score"][i])
@@ -241,7 +256,7 @@ class ProteinSearcher:
                 chosen.append(h)
         if len(chosen) == 1:
             return chosen if chosen[0].evalue <= \
-                self.params.evalue_threshold else []
+                self.params.evalue_threshold else group
         scores = [h.score for h in chosen[:5]]   # DEFAULT_SCORE_TOP
         subject_len = self._subject_len(chosen[0].subject)
         ev = self.stat.sum_score_to_expect(scores, subject_len)
@@ -249,7 +264,10 @@ class ProteinSearcher:
             for h in chosen:
                 h.evalue = ev
             return chosen
-        return []
+        # combined e-value missed: keep the original hits with their own
+        # e-values (the reference replaces only "if (!vRes.empty())",
+        # hash_search.cpp:1268-1271; individual hits may still pass)
+        return group
 
     def _subject_len(self, subject_id: int) -> int:
         local = int(np.nonzero(self.ids == subject_id)[0][0])
@@ -294,6 +312,7 @@ def refine_gapped(searcher: ProteinSearcher, qseq: np.ndarray,
     from .. import native_ext
     from ..core import blosum as _blosum
     cut = searcher.cutoffs
+    searcher.stat.set_query(len(qseq))
     sub21 = np.full((21, 21), extend.NEGSCORE, np.int32)
     sub21[:20, :20] = _blosum.BLOSUM62
     out = []
@@ -388,13 +407,19 @@ def write_m8(path_or_file, hits: list[Hit], names_q, names_d) -> None:
             f.close()
 
 
-def write_aln(path_or_file, hits: list[Hit], names_q, names_d) -> None:
-    """Readable alignment output (PrintAln, hash_search.cpp:1253-1273)."""
+def write_aln(path_or_file, hits: list[Hit], names_q, names_d,
+              max_out: int | None = None) -> None:
+    """Readable alignment output (PrintAln, hash_search.cpp:1253-1273).
+
+    max_out caps the emitted alignments (m_nMaxOut; the m8 writer has its
+    own separate cap in the caller)."""
     close = False
     f = path_or_file
     if isinstance(path_or_file, str):
         f = open(path_or_file, "w")
         close = True
+    if max_out is not None:
+        hits = hits[:max_out]
     try:
         for h in hits:
             f.write(f"{names_q[h.query]} vs {names_d[h.subject]} "

@@ -141,16 +141,18 @@ def query_probe_codes(qseq: jax.Array, qstarts: jax.Array):
 @functools.partial(jax.jit, static_argnames=("cand_max",))
 def probe(index: SeedIndex, qcodes: jax.Array, qgrp10: jax.Array,
           cand_max: int):
-    """(Q, NARROW+1) probe codes -> candidate db positions (Q, ...) int32.
+    """(Q, P) probe codes -> (candidates (Q, P*cand_max) int32, n_over).
 
     qgrp10: (Q,) the query's murphy10 group at seed position + 9 (the 4th
     suffix residue) — candidates that still have that residue must agree
     on it (the reference's 4-deep narrowing); shorter candidates pass.
-    Invalid slots hold -1.
+    Invalid slots hold -1.  ``n_over`` counts buckets whose true size
+    exceeded cand_max (truncated — the caller should warn).
     """
     sc = index.sorted_codes
     lo = jnp.searchsorted(sc, qcodes, side="left")
     hi = jnp.searchsorted(sc, qcodes, side="right")
+    n_over = jnp.sum(hi - lo > cand_max)
     count = jnp.minimum(hi - lo, cand_max)
     offs = jnp.arange(cand_max, dtype=jnp.int32)
     pos = lo[..., None] + offs                       # (Q, P, M)
@@ -168,4 +170,4 @@ def probe(index: SeedIndex, qcodes: jax.Array, qgrp10: jax.Array,
     ok = jnp.logical_not(has10) | (g10 == qgrp10[:, None, None])
     ids = jnp.where(sel & ok, ids, -1)
     q = qcodes.shape[0]
-    return ids.reshape(q, -1)
+    return ids.reshape(q, -1), n_over

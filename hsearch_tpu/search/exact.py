@@ -123,6 +123,7 @@ def search_topk(db_kmers: np.ndarray, centers: np.ndarray, k: int,
     Returns (dists (C, k) f32, ids (C, k) int32).
     """
     db = jnp.asarray(db_kmers)
+    k = min(k, db_kmers.shape[0])
     is_kmers = np.issubdtype(centers.dtype, np.integer)
     out_d, out_i = [], []
     for _, blk in _center_blocks(centers, center_block):
@@ -148,6 +149,7 @@ def search_topk_blosum(db_kmers: np.ndarray, queries: np.ndarray, k: int,
     against a concrete database).  Returns (scores (C,k) f32, ids (C,k)).
     """
     db = jnp.asarray(db_kmers)
+    k = min(k, db_kmers.shape[0])
     out_s, out_i = [], []
     for _, blk in _center_blocks(queries, center_block):
         s, idx = _topk_blosum_block(jnp.asarray(blk), db, k)

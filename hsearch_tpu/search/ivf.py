@@ -164,7 +164,7 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
         # per-query candidate gathers
         db_sorted = jnp.take(km_pad, order_blocks, axis=0).astype(jnp.int8)
         dbp = jnp.concatenate(
-            [db_sorted, jnp.zeros((bpad, block_size, l), jnp.int32)])
+            [db_sorted, jnp.zeros((bpad, block_size, l), jnp.int8)])
         obp = jnp.concatenate(
             [order_blocks, jnp.full((bpad, block_size), n, jnp.int32)])
         dbp = dbp.reshape(-1, bchunk, block_size, l)
@@ -213,12 +213,16 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
         alive = dblk <= r + index.block_radius[None, :]
         key = jnp.where(alive, dblk, jnp.inf)
     n_alive = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
-    # nearest k_blocks surviving blocks per center; when the cap is far
-    # below the block count, TPU-optimized approximate selection is fine —
-    # a marginal block missed only trades a little recall, never a false
-    # positive (the hit compaction below stays exact)
+    # nearest k_blocks surviving blocks per center.  Opt-in approximate
+    # selection (HSEARCH_APPROX_SELECT=1) trades the documented
+    # exactness-when-k_blocks-fits guarantee for TPU top-k speed: a
+    # surviving block can be missed ~5%% of the time (never a false
+    # positive — the hit compaction below stays exact)
     kb = min(k_blocks, key.shape[1])
-    if kb * 8 <= key.shape[1] and jax.default_backend() == "tpu":
+    import os as _os
+    if (_os.environ.get("HSEARCH_APPROX_SELECT", "0") == "1"
+            and kb * 8 <= key.shape[1]
+            and jax.default_backend() == "tpu"):
         neg, blk_ids = jax.lax.approx_max_k(-key, kb, recall_target=0.95)
     else:
         neg, blk_ids = jax.lax.top_k(-key, kb)              # (C, kb)

@@ -168,10 +168,14 @@ def search_protein_db(db, centers: np.ndarray, key,
     ci, ki, dd = search(index, centers, config)
     best_center = np.full(len(km), -1, np.int32)
     best_dist = np.full(len(km), np.inf, np.float32)
-    for c, k, d in zip(ci, ki, dd):
-        if d < best_dist[k]:
-            best_dist[k] = d
-            best_center[k] = c
+    if len(ki):
+        # vectorized per-kmer argmin: sort hits by (kmer, distance) and
+        # keep each kmer's first row
+        order = np.lexsort((dd, ki))
+        ks, ds, cs = ki[order], dd[order], ci[order]
+        first = np.concatenate([[True], ks[1:] != ks[:-1]])
+        best_dist[ks[first]] = ds[first]
+        best_center[ks[first]] = cs[first]
     return best_center, best_dist, positions
 
 

@@ -122,8 +122,10 @@ def test_seed_index_probe_matches_bruteforce(rng):
     g = np.asarray(seed_index._GROUP21)[np.minimum(qseq, 20)]
     off = seed_index.MER + seed_index.NARROW
     qgrp10 = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
-    cand = np.asarray(seed_index.probe(
-        idx, codes, jnp.asarray(qgrp10, jnp.int32), cand_max=64))
+    cand, n_over = seed_index.probe(
+        idx, codes, jnp.asarray(qgrp10, jnp.int32), cand_max=64)
+    cand = np.asarray(cand)
+    assert int(n_over) == 0
     valid = np.asarray(valid)
 
     red = reduced.reduce_seq(seq)
