@@ -113,6 +113,9 @@ def cmd_motif_search(args):
 def cmd_motif_search_exact(args):
     from .search import exact
     dnames, dk, _ = _read_kmer_input(args.database, args.kmer_len)
+    if dk is None:
+        raise SystemExit("input must be k-mer-typed (FASTA or datapoints "
+                         "with name#idx$off@KMER*count headers)")
     cnames, ck, cpts = _read_kmer_input(args.centers, args.kmer_len)
     centers = ck if ck is not None else cpts
     ci, ki, dd = exact.search_radius(dk, centers, args.radius)
@@ -137,6 +140,9 @@ def cmd_hclust2(args):
     db = hio.read_fasta(args.database, seed=args.seed)
     keep = [i for i in range(db.num_proteins)
             if len(db.protein(i)) >= args.kmer_len]
+    if not keep:
+        raise SystemExit(f"no sequences of length >= {args.kmer_len} "
+                         "in the database (check -l)")
     km = np.stack([np.asarray(db.protein(i))[:args.kmer_len]
                    for i in keep]).astype(np.int32)
     cfg = greedy.ClusterConfig(hash_k=args.hash_k, hash_l=args.hash_l,
@@ -157,6 +163,9 @@ def cmd_hclust(args):
     db = hio.read_fasta(args.database, seed=args.seed)
     keep = [i for i in range(db.num_proteins)
             if len(db.protein(i)) >= args.kmer_len]
+    if not keep:
+        raise SystemExit(f"no sequences of length >= {args.kmer_len} "
+                         "in the database (check -l)")
     km = np.stack([np.asarray(db.protein(i))[:args.kmer_len]
                    for i in keep]).astype(np.int32)
     cfg = centroid.CentroidConfig(hash_k=args.hash_k, hash_l=args.hash_l,
@@ -215,6 +224,9 @@ def cmd_postprocess(args):
     from .core import io as hio
     clusters = hio.read_clusters(args.clusters)
     clusters = [c for c in clusters if len(c) >= args.min_size]
+    if not clusters:
+        raise SystemExit(f"no clusters with >= {args.min_size} members "
+                         "(lower --min-size)")
     named = [(f"cluster{i}", c) for i, c in enumerate(clusters)]
     centers = postprocess.cluster_centers(clusters)
     postprocess.write_centers_as_datapoints(
@@ -248,6 +260,11 @@ def cmd_shuffle_kmers(args):
 def cmd_kmer2coordinates(args):
     from .core import dataprep, io as hio
     names, km, _ = _read_kmer_input(args.input, args.kmer_len)
+    dk = km
+    if dk is None:
+        raise SystemExit("input must be k-mer-typed (FASTA or datapoints "
+                         "with name#idx$off@KMER*count headers)")
+
     pts = dataprep.kmers_to_coordinates(km)
     hio.write_datapoints(args.output, names, pts)
     print(f"[{len(names)} points -> {args.output}]", file=sys.stderr)
@@ -255,7 +272,9 @@ def cmd_kmer2coordinates(args):
 
 def cmd_gen_kmers(args):
     from .core import alphabet, dataprep, io as hio
-    db = hio.read_fasta(args.database, seed=args.seed)
+    # seed=None: keep unknown residues so unique_kmers excludes windows
+    # containing them (randomizing first would fabricate k-mers)
+    db = hio.read_fasta(args.database, seed=None)
     kmers, counts = dataprep.unique_kmers(db, args.kmer_len)
     with open(args.output, "w") as f:
         for km, c in zip(kmers, counts):
@@ -274,9 +293,9 @@ def _read_raw_fasta(path: str):
             if line.startswith(">"):
                 if names:
                     seqs.append("".join(cur))
-                    cur = []
+                cur = []          # also drops text before the first '>'
                 names.append(line[1:].split(" ")[0])
-            else:
+            elif names:
                 cur.append(line)
     if names:
         seqs.append("".join(cur))
@@ -313,6 +332,9 @@ def cmd_index_build(args):
     from .utils import checkpoint, stats
     import json
     _, dk, _ = _read_kmer_input(args.database, args.kmer_len)
+    if dk is None:
+        raise SystemExit("input must be k-mer-typed (FASTA or datapoints "
+                         "with name#idx$off@KMER*count headers)")
     key = jax.random.PRNGKey(args.seed)
     if args.engine == "ivf":
         index = ivf.build_index(dk, key, block_size=args.block_size)
@@ -368,6 +390,9 @@ def cmd_lsh_sweep(args):
     import jax
     from .lsh import tuning
     _, dk, _ = _read_kmer_input(args.database, args.kmer_len)
+    if dk is None:
+        raise SystemExit("input must be k-mer-typed (FASTA or datapoints "
+                         "with name#idx$off@KMER*count headers)")
     _, ck, cpts = _read_kmer_input(args.centers, args.kmer_len)
     centers = ck if ck is not None else cpts
     pts = tuning.sweep(dk, centers, args.radius,

@@ -129,25 +129,6 @@ def _bucket_distances(bucket_kmers: jax.Array, kmer_len: int) -> jax.Array:
 # bucketing (host)
 # ---------------------------------------------------------------------------
 
-def _make_buckets(codes: np.ndarray, active_ids: np.ndarray,
-                  bucket_max: int) -> list[np.ndarray]:
-    """Group active ids by code; chunk groups longer than bucket_max."""
-    order = np.argsort(codes, kind="stable")
-    sc = codes[order]
-    sid = active_ids[order]
-    cuts = np.nonzero(sc[1:] != sc[:-1])[0] + 1
-    groups = np.split(sid, cuts)
-    out = []
-    for g in groups:
-        if len(g) <= 1:
-            continue  # singleton buckets cannot absorb anything
-        for s in range(0, len(g), bucket_max):
-            chunk = g[s:s + bucket_max]
-            if len(chunk) > 1:
-                out.append(chunk)
-    return out
-
-
 def _bucket_matrix(codes: np.ndarray, active_ids: np.ndarray,
                    bucket_max: int, n_sentinel: int):
     """Vectorized _make_buckets + _pad_buckets: one (NB, bucket_max)
@@ -179,21 +160,6 @@ def _bucket_matrix(codes: np.ndarray, active_ids: np.ndarray,
     valid = ids < n_sentinel
     rows = valid.sum(axis=1) >= 2    # drop length-1 remainder chunks
     return ids[rows], valid[rows]
-
-
-def _pad_buckets(buckets: list[np.ndarray], n_sentinel: int, width: int):
-    """-> (NB, width) id array (sentinel-padded), (NB, width) valid mask.
-
-    Fixed width keeps every device call the same shape -> one XLA compile
-    for the whole run (shape-polymorphic padding caused a recompile per
-    round on real TPU hardware).
-    """
-    if not buckets:
-        return (np.empty((0, width), np.int64), np.empty((0, width), bool))
-    ids = np.full((len(buckets), width), n_sentinel, np.int64)
-    for i, x in enumerate(buckets):
-        ids[i, :len(x)] = x
-    return ids, ids < n_sentinel
 
 
 # ---------------------------------------------------------------------------

@@ -26,8 +26,13 @@ def cluster_centers(clusters: list[list[str]]) -> np.ndarray:
     """
     out = []
     for members in clusters:
+        if len({len(m) for m in members}) > 1:
+            raise ValueError("cluster members must share one length "
+                             f"(got {sorted({len(m) for m in members})})")
         km = np.stack([alphabet.encode(m) for m in members])
         out.append(embedding.embed_kmers(km).mean(axis=0))
+    if not out:
+        return np.zeros((0, 0), np.float32)
     return np.stack(out)
 
 
@@ -65,8 +70,10 @@ def meme_probability_matrix(members: list[str]) -> np.ndarray:
     w = len(members[0])
     counts = np.zeros((w, 26), np.float64)
     for m in members:
-        for k, ch in enumerate(m):
-            counts[k][ord(ch) - ord("A")] += 1.0
+        for k, ch in enumerate(m.upper()[:w]):
+            j = ord(ch) - ord("A")
+            if 0 <= j < 26:
+                counts[k][j] += 1.0
     cols = [ord(ch) - ord("A") for ch in MEME_ALPHABET]
     mat = counts[:, cols]
     sums = counts.sum(axis=1, keepdims=True)

@@ -102,16 +102,10 @@ def unique_kmers(db, k: int):
     pid = np.searchsorted(starts, pos, side="right") - 1
     ok = (pos + k <= starts[pid + 1]) & (wins < 20).all(axis=1)
     wins = wins[ok]
-    # lexicographic dedup via void-view unique
-    packed = np.zeros(len(wins), np.int64)
-    for i in range(k):
-        packed = packed * 20 + wins[:, i]
-    uniq, counts = np.unique(packed, return_counts=True)
-    out = np.zeros((len(uniq), k), np.int32)
-    rem = uniq.copy()
-    for i in range(k - 1, -1, -1):
-        out[:, i] = rem % 20
-        rem //= 20
+    # row-wise unique: exact for any k (base-20 int64 packing overflows
+    # silently at k >= 15)
+    out, counts = np.unique(wins.astype(np.int32), axis=0,
+                            return_counts=True)
     return out, counts.astype(np.int64)
 
 

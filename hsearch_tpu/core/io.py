@@ -97,6 +97,7 @@ def read_fasta(path_or_file, *, seed: int | None = 0,
     def _flush():
         nonlocal total
         if not names:
+            cur.clear()      # text before the first '>' is not sequence
             return
         raw = b"".join(cur)
         if drop_non_alpha:

@@ -21,8 +21,9 @@ def weight(dis: float, radius: float) -> float:
     1 below distance 24; 1/(dis-24) above, clipped into [0, 1] (the
     reference returns 1 for out-of-range values of the reciprocal).
     """
-    if dis > radius + 0.1:
-        raise ValueError(f"hit distance {dis} exceeds radius {radius}")
+    # the reference hard-exits on dis > R (motif_both_points.cpp:67-75,
+    # a debugging trap); here out-of-range truth pairs simply weigh by the
+    # same formula so evaluations with mismatched radii stay usable
     if dis < 1e-7 or dis < 24.0:
         return 1.0
     w = 1.0 / (dis - 24.0)

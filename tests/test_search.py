@@ -212,8 +212,9 @@ def test_weight_function():
     assert evaluate.weight(23.9, 200) == 1.0
     assert evaluate.weight(26.0, 200) == 0.5
     assert abs(evaluate.weight(124.0, 200) - 0.01) < 1e-12
-    with pytest.raises(ValueError):
-        evaluate.weight(201.0, 200)
+    # out-of-range distances weigh by the same formula (the reference
+    # hard-exits there, a debugging trap we do not reproduce)
+    assert evaluate.weight(201.0, 200) == 1.0 / (201.0 - 24.0)
 
 
 def test_fast_distance_matches_exact(rng):
