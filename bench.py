@@ -26,6 +26,7 @@ import numpy as np
 def protein_like_db(rng, n, l, family_size=64, query_n=256):
     """Motif families (centers + Poisson-flip members), realistic shape."""
     nfam = max(1, n // family_size)
+    query_n = min(query_n, nfam)     # tiny fallback sizes have few families
     fam = rng.integers(0, 20, (nfam, l), dtype=np.int32)
     which = rng.integers(0, nfam, n)
     db = fam[which].copy()
@@ -67,6 +68,7 @@ def main():
     radius = 35.0
     rng = np.random.default_rng(0)
     db, centers = protein_like_db(rng, n, l, query_n=c)
+    c = centers.shape[0]             # may have been clamped to the family count
 
     print(f"# workload ready n={n} c={c}", file=sys.stderr, flush=True)
     t0 = time.perf_counter()

@@ -61,13 +61,10 @@ def init(key: jax.Array, dim: int, hash_k: int = 4, hash_l: int = 4,
 def bucket_indices(points: jax.Array, params: PStableParams) -> jax.Array:
     """(N, D) points -> (T, N, K) int32 bucket indices.
 
-    floor((a.x + b)/W), per lsh.hpp:44-49; all tables in one GEMM.
+    floor((a.x + b)/W), per lsh.hpp:44-49; all tables in one GEMM
+    (shared with the fused and multiprobe paths via _projections).
     """
-    t, d, k = params.a.shape
-    aflat = params.a.transpose(1, 0, 2).reshape(d, t * k)
-    proj = jnp.dot(jnp.asarray(points, jnp.float32), aflat,
-                   preferred_element_type=jnp.float32)      # (N, T*K)
-    proj = proj.reshape(-1, t, k) + params.b[None, :, :]
+    proj = _projections(points, params, is_kmers=False)
     return jnp.floor(proj / params.w).astype(jnp.int32).transpose(1, 0, 2)
 
 
@@ -95,17 +92,7 @@ def bucket_indices_kmers(kmers: jax.Array,
     Equals bucket_indices(embed_kmers(kmers), params) without the (N, 8L)
     intermediate: per position, gather the pre-folded projection row.
     """
-    n, l = kmers.shape
-    f = _folded_kmer_table(params, l)                   # (L, T, 20, K)
-    t, k = f.shape[1], f.shape[3]
-    fl = f.transpose(0, 2, 1, 3).reshape(l, 20, t * k)  # (L, 20, T*K)
-    kmers = kmers.astype(jnp.int32)
-    # Accumulate position by position: each step is an (N,) gather from a
-    # (20, T*K) table — O(N*T*K) memory, no (N, L, T*K) intermediate.
-    proj = jnp.zeros((n, t * k), jnp.float32)
-    for pos in range(l):
-        proj = proj + jnp.take(fl[pos], kmers[:, pos], axis=0)
-    proj = proj.reshape(n, t, k) + params.b[None, :, :]
+    proj = _projections(kmers, params, is_kmers=True)
     return jnp.floor(proj / params.w).astype(jnp.int32).transpose(1, 0, 2)
 
 
@@ -152,6 +139,13 @@ def multiprobe_codes(queries: jax.Array, params: PStableParams,
     in the single-probe scheme.  No reference equivalent: the reference
     compensates with more tables (hash_L, motif_both_points.cpp:206-218).
     """
+    k_dims = params.a.shape[2]
+    if num_probes > (1 << k_dims):
+        import warnings
+        warnings.warn(
+            f"multiprobe can generate at most 2^K={1 << k_dims} probes "
+            f"for hash_k={k_dims}; requested {num_probes}, using "
+            f"{1 << k_dims}")
     scaled = _projections(queries, params, is_kmers) / params.w  # (C, T, K)
     base = jnp.floor(scaled)
     frac = scaled - base                       # in [0, 1)

@@ -148,6 +148,8 @@ def dedup_sorted(ids: jax.Array, sentinel: int) -> jax.Array:
 def max_bucket_size(codes: np.ndarray) -> int:
     """Largest bucket across all tables (host-side, for static cand_max)."""
     best = 1
+    if codes.size == 0:
+        return best
     for t in range(codes.shape[0]):
         _, counts = np.unique(np.asarray(codes[t]), return_counts=True)
         best = max(best, int(counts.max()))

@@ -25,9 +25,14 @@ def phase(name: str, *, sync: bool = False):
         index = motif.build_index(...)
     """
     if sync:
+        # fence pending device work: a tiny transfer completes only after
+        # everything already enqueued (effects_barrier only fences
+        # effectful computations, not pure async dispatch)
         import jax
-        (jax.effects_barrier if hasattr(jax, "effects_barrier")
-         else lambda: None)()
+        try:
+            jax.block_until_ready(jax.device_put(0))
+        except Exception:
+            pass
     t0 = time.perf_counter()
     try:
         yield
