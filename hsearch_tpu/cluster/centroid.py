@@ -34,15 +34,6 @@ class CentroidConfig:
     radius: float = 200.0
 
 
-def _centroid_and_radius(points: np.ndarray, members: list[np.ndarray]):
-    cents = np.stack([points[m].mean(0) for m in members])
-    radii = np.empty(len(members), np.float32)
-    for i, m in enumerate(members):
-        d = points[m] - cents[i]
-        radii[i] = np.sqrt((d * d).sum(-1).max()) if len(m) else 0.0
-    return cents.astype(np.float32), radii
-
-
 def cluster_centroid(kmers: np.ndarray, key: jax.Array,
                      config: CentroidConfig = CentroidConfig()):
     """Returns a list of member-id arrays (final clusters)."""
@@ -62,9 +53,14 @@ def cluster_centroid(kmers: np.ndarray, key: jax.Array,
         cuts = np.nonzero(sc[1:] != sc[:-1])[0] + 1
         groups = np.split(order, cuts)
         new_members: list[np.ndarray] = []
+        new_cents: list[np.ndarray] = []
+        new_radii: list[float] = []
         for g in groups:
             if len(g) == 1:
-                new_members.append(members[g[0]])
+                ci = g[0]
+                new_members.append(members[ci])
+                new_cents.append(cents[ci])
+                new_radii.append(float(radii[ci]))
                 continue
             # bucket centroid over all underlying points (hclust.cpp:190)
             sizes = np.array([len(members[c]) for c in g], np.float32)
@@ -74,9 +70,20 @@ def cluster_centroid(kmers: np.ndarray, key: jax.Array,
             merge_ids = [members[ci] for ci, k in zip(g, keep) if not k]
             for ci, k in zip(g, keep):
                 if k:
+                    # untouched cluster: centroid/radius carry over — only
+                    # merged clusters are recomputed (the full-cluster rescan
+                    # dominated host time at scale)
                     new_members.append(members[ci])
+                    new_cents.append(cents[ci])
+                    new_radii.append(float(radii[ci]))
             if merge_ids:
-                new_members.append(np.concatenate(merge_ids))
+                merged = np.concatenate(merge_ids)
+                new_members.append(merged)
+                mc = points[merged].mean(0)
+                dd = points[merged] - mc
+                new_cents.append(mc.astype(np.float32))
+                new_radii.append(float(np.sqrt((dd * dd).sum(-1).max())))
         members = new_members
-        cents, radii = _centroid_and_radius(points, members)
+        cents = np.stack(new_cents).astype(np.float32)
+        radii = np.asarray(new_radii, np.float32)
     return members
