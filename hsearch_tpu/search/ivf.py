@@ -104,6 +104,34 @@ def _kmeans_cells(points: jax.Array, key: jax.Array, n_cells: int,
     return assign(centroids)
 
 
+@functools.partial(jax.jit, static_argnames=("n_cells", "block"))
+def _assign_cells_kmers(km: jax.Array, key: jax.Array, n_cells: int,
+                        block: int = 8192) -> jax.Array:
+    """Sample-assign cells directly from integer k-mers.
+
+    The (N, 8L) float embedding never materializes: each scan block
+    embeds (block, L) -> (block, 8L) on the fly, so device memory for the
+    build is bounded by the int32 k-mers plus one block — the difference
+    between ~2M and ~100M points per chip.
+    """
+    n, l = km.shape
+    coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+    d = l * coords.shape[1]
+    idx = jax.random.choice(key, n, (n_cells,), replace=n < n_cells)
+    centroids = jnp.take(coords, km[idx], axis=0).reshape(n_cells, d)
+    pad = (-n) % block
+    kmp = jnp.pad(km, ((0, pad), (0, 0)))
+    blocks = kmp.reshape(-1, block, l)
+
+    def body(_, blk):
+        pts = jnp.take(coords, blk, axis=0).reshape(block, d)
+        d2 = distance.sq_distance_matrix(pts, centroids)
+        return None, jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    _, a = jax.lax.scan(body, None, blocks)
+    return a.reshape(-1)[:n]
+
+
 def build_index(db_kmers: np.ndarray, key: jax.Array,
                 block_size: int = 32, n_cells: int | None = None,
                 kmeans_iters: int = 0) -> IVFIndex:
@@ -124,17 +152,23 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     if n_cells is None:
         n_cells = max(1, n // block_size)
 
-    # stage 1 (one jit): embed on device + cell assignment.  Only the
-    # integer k-mers cross host->device; only the (N,) cell ids cross
-    # back.  Keeping this a single program matters on remote TPUs, where
-    # every eager op is a separate (slow) remote compilation.
-    @functools.partial(jax.jit, static_argnames=("nc", "iters"))
-    def _stage1(km, key, nc, iters):
-        coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
-        pts = jnp.take(coords, km, axis=0).reshape(n, l * coords.shape[1])
-        return _kmeans_cells(pts, key, nc, iters)
+    # stage 1 (one jit): cell assignment straight from the integer
+    # k-mers, embedding per scan block (the full float matrix never
+    # materializes).  Only the k-mers cross host->device; only the (N,)
+    # cell ids cross back.  Lloyd refinement (kmeans_iters > 0) uses the
+    # materializing path, needed only when sample-assign cells are too
+    # coarse.
+    if kmeans_iters == 0:
+        cells = np.asarray(_assign_cells_kmers(km, key, n_cells))
+    else:
+        @jax.jit
+        def _stage1(km, key):
+            coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+            pts = jnp.take(coords, km, axis=0).reshape(
+                n, l * coords.shape[1])
+            return _kmeans_cells(pts, key, n_cells, kmeans_iters)
 
-    cells = np.asarray(_stage1(km, key, nc=n_cells, iters=kmeans_iters))
+        cells = np.asarray(_stage1(km, key))
     order = np.argsort(cells, kind="stable").astype(np.int32)
     sorted_cells = cells[order]
     # cut cell-aligned blocks: pad each cell's run to a block_size multiple
