@@ -152,7 +152,9 @@ def _adaptive():
 
     signal.signal(signal.SIGTERM, _reap)
     signal.signal(signal.SIGINT, _reap)
-    for log2n, deadline in ((19, 420), (16, 170)):
+    # deadlines leave room for the in-process last resort inside a
+    # ~600 s driver budget even when every attempt times out
+    for log2n, deadline in ((19, 330), (16, 140)):
         env = dict(os.environ, _HSEARCH_BENCH_INNER="1",
                    HSEARCH_BENCH_N=str(log2n))
         child = subprocess.Popen([sys.executable, "-u", __file__],
