@@ -190,6 +190,19 @@ def cmd_pcluster(args):
     res = pcluster.cluster_proteins(db, jax.random.PRNGKey(args.seed),
                                     params, cluster_evalue=args.cluster_evalue,
                                     tables=args.tables)
+    if args.gapped:
+        # re-align strong hits with the banded gapped aligner
+        # (pipeline.refine_gapped; the reference declares but never runs
+        # its gapped stage)
+        by_query = {}
+        for h in res.hits:
+            by_query.setdefault(h.query, []).append(h)
+        refined = []
+        searcher = apipe.ProteinSearcher(db, params)
+        for q, hits in by_query.items():
+            qseq = np.asarray(db.protein(q))
+            refined.extend(apipe.refine_gapped(searcher, qseq, hits))
+        res.hits[:] = refined
     apipe.write_m8(args.output + ".m8", res.hits, db.names, db.names)
     apipe.write_aln(args.output + ".aln",
                     res.hits[:args.max_aln], db.names, db.names)
@@ -475,6 +488,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--max-aln", type=int, default=100)
     q.add_argument("--max-hit", type=int, default=500)
     q.add_argument("--tables", type=int, default=1)
+    q.add_argument("--gapped", action="store_true",
+                   help="re-align strong hits with the banded gapped "
+                        "aligner (affine gaps + traceback)")
     q.add_argument("--seed", type=int, default=0)
     q.set_defaults(func=cmd_pcluster)
 

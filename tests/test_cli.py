@@ -182,3 +182,33 @@ def test_lsh_sweep_cli(tmp_path, kmer_fasta, capsys):
               "-T", "25"])
     out = capsys.readouterr().out
     assert "recall=" in out and "# best:" in out
+
+
+def test_pcluster_gapped_flag(tmp_path, rng):
+    path = tmp_path / "g.fasta"
+    base = "".join(AA[j] for j in rng.integers(0, 20, 100))
+    # homolog with a small deletion: the gapped aligner bridges it
+    hom = base[:50] + base[53:]
+    with open(path, "w") as f:
+        f.write(f">a\n{base}\n>b\n{hom}\n")
+    out = str(tmp_path / "pg")
+    cli.main(["pcluster", "-d", str(path), "-o", out, "--gapped"])
+    m8 = [l.split("\t") for l in open(out + ".m8").read().splitlines()]
+    cross = [r for r in m8 if r[0] != r[1]]
+    assert cross
+    # gap openings recorded for the indel pair
+    assert any(int(r[5]) >= 1 for r in cross)
+
+
+def test_serve_lsh_index(tmp_path, kmer_fasta, capsys):
+    idx_path = str(tmp_path / "lsh.npz")
+    cli.main(["index-build", "-d", kmer_fasta, "-o", idx_path,
+              "-l", "10", "--engine", "lsh", "-L", "8"])
+    first = open(kmer_fasta).read().splitlines()[1]
+    qfile = tmp_path / "q.txt"
+    qfile.write_text(first + "\n")
+    cli.main(["serve", "-i", idx_path, "--input", str(qfile), "-T", "25",
+              "--probes", "4"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l and not l.startswith("#")]
+    assert any(float(l.split()[2]) < 1e-3 for l in lines)
