@@ -232,6 +232,22 @@ def cmd_evaluate2(args):
         print(f"{p} ACCURACY {rep.recall}")
 
 
+def cmd_evaluate_motifs(args):
+    """MEME-vs-hclust motif->protein-set comparison (evaluate.cpp)."""
+    from .core import io as hio
+    from .search import evaluate
+    with open(args.meme) as f:
+        f.readline()                       # header line (evaluate.cpp:25)
+        meme_pairs = []
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                meme_pairs.append((parts[0], parts[1]))
+    triples = hio.read_triples(args.result)
+    s1, s2, ratio = evaluate.motif_protein_set_ratio(meme_pairs, triples)
+    print(f"ACCURACY: {s1} {s2} {ratio}")
+
+
 def cmd_postprocess(args):
     from .cluster import postprocess
     from .core import io as hio
@@ -503,6 +519,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default="pivot",
                    help="'pivot' = evaluate2.cpp's 49.38 weighting")
     q.set_defaults(func=cmd_evaluate2)
+
+    q = sub.add_parser("evaluate-motifs")
+    q.add_argument("-m", "--meme", required=True,
+                   help="MEME-style hit list: motif protein per line")
+    q.add_argument("-r", "--result", required=True,
+                   help="search triples: motif protein distance per line")
+    q.set_defaults(func=cmd_evaluate_motifs)
 
     q = sub.add_parser("postprocess")
     q.add_argument("-c", "--clusters", required=True)

@@ -116,3 +116,23 @@ def write_accuracy_file(path: str, report: RecallReport) -> None:
                 f.write(f"{b} 0 fn {fe}\n")
             else:
                 f.write(f"{b} 1 tp {t}\n")
+
+
+def motif_protein_set_ratio(meme_pairs, hclust_triples):
+    """MEME-vs-hclust motif coverage comparison (evaluate.cpp:19-63).
+
+    meme_pairs: iterable of (motif, protein) from a MEME-style hit list;
+    hclust_triples: iterable of (motif, protein, distance) from the
+    search output.  Returns (sum_meme, sum_hclust, ratio) where each sum
+    counts distinct proteins per motif over the union of motif names.
+    """
+    a: dict = {}
+    for m, p in meme_pairs:
+        a.setdefault(m, set()).add(p)
+    b: dict = {}
+    for m, p, _ in hclust_triples:
+        b.setdefault(m, set()).add(p)
+    motifs = set(a) | set(b)
+    sum1 = sum(len(a.get(m, ())) for m in motifs)
+    sum2 = sum(len(b.get(m, ())) for m in motifs)
+    return sum1, sum2, (sum2 / sum1 if sum1 else float("inf"))

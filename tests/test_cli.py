@@ -212,3 +212,14 @@ def test_serve_lsh_index(tmp_path, kmer_fasta, capsys):
     out = capsys.readouterr().out
     lines = [l for l in out.splitlines() if l and not l.startswith("#")]
     assert any(float(l.split()[2]) < 1e-3 for l in lines)
+
+
+def test_evaluate_motifs_cli(tmp_path, capsys):
+    meme = tmp_path / "meme.txt"
+    meme.write_text("HEADER\nm1 p1\nm1 p2\nm2 p3\n")
+    res = tmp_path / "res.txt"
+    res.write_text("m1 p1 5.0\nm1 p2 6.0\nm1 p4 7.0\nm3 p9 1.0\n")
+    cli.main(["evaluate-motifs", "-m", str(meme), "-r", str(res)])
+    out = capsys.readouterr().out
+    # sums over the union of motifs: meme 3 proteins, hclust 4
+    assert "ACCURACY: 3 4" in out
