@@ -12,11 +12,12 @@ import os
 # the ambient environment may point JAX at a real TPU, but unit tests always
 # run on the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# force the 8-device count (replacing any ambient value: mesh tests
+# require exactly 8 virtual devices)
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(flags)
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402

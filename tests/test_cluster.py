@@ -65,9 +65,13 @@ def test_cluster_greedy_invariants(rng):
         for m in c[1:]:
             d = np.sqrt(embedding.DISTANCE_SQUARE[head, km[m]].sum())
             assert d <= cfg.radius + 1e-3
-    # identical k-mers should nearly always be absorbed together
-    n_heads = sum(1 for c in clusters if len(c) > 1)
-    assert n_heads > 0
+    # identical k-mers hash identically in every table, so each planted
+    # duplicate pair must share a cluster (distance 0 <= radius)
+    label = np.empty(200, np.int64)
+    for cid, c in enumerate(clusters):
+        label[c] = cid
+    same = sum(int(label[i] == label[100 + i]) for i in range(50))
+    assert same == 50
 
 
 def test_cluster_centroid_runs(rng):

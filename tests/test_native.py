@@ -23,6 +23,7 @@ def test_parse_fasta_native(rng):
     assert seq[15] == 0 and seq[16] == 20 and seq[17] == 20 and seq[18] == 0
 
 
+@needs_native
 def test_suffix_array_native_matches_numpy(rng):
     seq = rng.integers(0, 20, 500).astype(np.int32)
     want = dataprep.suffix_array(seq)
@@ -30,6 +31,7 @@ def test_suffix_array_native_matches_numpy(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@needs_native
 def test_union_find_native_matches_python(rng):
     n = 100
     src = rng.integers(0, n, 60)
@@ -47,8 +49,8 @@ def _sub21():
 
 
 def test_align_gapped_identical():
-    q = alphabet.encode("ARNDCQEGHIKLMNP".replace("B", "")).astype(np.int32)
-    q = q[q < 20]
+    q = alphabet.encode("ARNDCQEGHIKLMNP").astype(np.int32)
+    q = q[q < 20]      # N appears twice; drop any unknown just in case
     res = native_ext.align_gapped(q, q, _sub21())
     assert res is not None
     score, ops, e1, e2 = res

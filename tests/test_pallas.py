@@ -20,6 +20,10 @@ def test_prune_kernel_matches_reference(rng):
 def test_prune_kernel_in_ivf(rng, monkeypatch):
     import jax
     from hsearch_tpu.search import exact, ivf
+    # the flag is read at trace time inside the jitted search step; clear
+    # the jit cache so this test traces (and later tests re-trace) with
+    # the right branch instead of reusing an identically-shaped executable
+    jax.clear_caches()
     monkeypatch.setenv("HSEARCH_PALLAS", "1")
     db = rng.integers(0, 20, (512, 10), dtype=np.int32)
     centers = db[:8].copy()
@@ -27,3 +31,4 @@ def test_prune_kernel_in_ivf(rng, monkeypatch):
     ci, ki, d = ivf.search(idx, centers, 25.0, k_blocks=idx.num_blocks)
     gci, gki, _ = exact.search_radius(db, centers, 25.0)
     assert set(zip(ci, ki)) == set(zip(gci, gki))
+    jax.clear_caches()
