@@ -154,7 +154,7 @@ def _adaptive():
     signal.signal(signal.SIGINT, _reap)
     # deadlines leave room for the in-process last resort inside a
     # ~600 s driver budget even when every attempt times out
-    for log2n, deadline in ((19, 330), (16, 140)):
+    for log2n, deadline in ((20, 330), (17, 140)):
         env = dict(os.environ, _HSEARCH_BENCH_INNER="1",
                    HSEARCH_BENCH_N=str(log2n))
         child = subprocess.Popen([sys.executable, "-u", __file__],
