@@ -634,7 +634,13 @@ def main(argv=None):
                     "jax_persistent_cache_min_compile_time_secs", 0)
         except Exception:
             pass
-    args.func(args)
+    try:
+        args.func(args)
+    except (ValueError, OSError) as e:
+        # input/format errors surface as clean one-line failures, not
+        # tracebacks (smithlab's tools print the exception message too,
+        # OptionParser.hpp error paths)
+        raise SystemExit(f"{args.tool}: {e}")
 
 
 if __name__ == "__main__":
