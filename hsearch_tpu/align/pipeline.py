@@ -286,13 +286,80 @@ class ProteinSearcher:
         res, subj = self._extend(qseq, qpos, dpos)
         return self._assemble(query_idx, qseq, res, subj)
 
-    def search_all(self) -> list[Hit]:
+    def search_all(self, batched: bool = True) -> list[Hit]:
         """Every indexed protein as query (ProteinSearching,
-        hash_search.cpp:263-289)."""
+        hash_search.cpp:263-289).
+
+        batched=True streams ALL queries' seed pairs through one shared
+        extension pipeline (queries and subjects are the same concatenated
+        array, so pair positions are global offsets) — one device stream
+        per group instead of per-protein calls.  Results are identical to
+        the per-query path; assembly stays per query.
+        """
+        if not batched:
+            out = []
+            for local, gid in enumerate(self.ids):
+                qseq = self.seq[self.starts[local]:self.starts[local + 1]]
+                out.extend(self.search_sequence(qseq, query_idx=int(gid)))
+            return out
+
+        # 1. collect (global qpos, dpos, query-local-id) for every query
+        all_q, all_d, all_query = [], [], []
+        for local in range(len(self.ids)):
+            lo, hi = int(self.starts[local]), int(self.starts[local + 1])
+            qseq = self.seq[lo:hi]
+            if len(qseq) < seed_index.SEED_LEN:
+                continue
+            qpos, dpos = self._pairs_for_query(qseq)
+            if qpos.size == 0:
+                continue
+            all_q.append(qpos + lo)
+            all_d.append(dpos)
+            all_query.append(np.full(len(qpos), local, np.int64))
+        if not all_q:
+            return []
+        qpos = np.concatenate(all_q)
+        dpos = np.concatenate(all_d)
+        query_local = np.concatenate(all_query)
+
+        # 2. one batched extension stream over the shared array
+        p = self.params
+        drop = jnp.int32(int(self.cutoffs.ungap_ext_drop))
+        qpid = np.searchsorted(self.starts, qpos, side="right") - 1
+        dpid = np.searchsorted(self.starts, dpos, side="right") - 1
+        qlo, qhi = self.starts[qpid], self.starts[qpid + 1]
+        dlo, dhi = self.starts[dpid], self.starts[dpid + 1]
+        sdev = self.index.seq
+        res = {k: [] for k in ("score", "match", "gate_score", "gate_match",
+                               "q_beg", "q_end", "d_beg", "d_end")}
+        for s in range(0, qpos.shape[0], p.pair_batch):
+            sl = slice(s, s + p.pair_batch)
+            pad = p.pair_batch - len(qpos[sl])
+            r = extend.extend_pairs(
+                sdev, sdev,
+                jnp.asarray(np.pad(qpos[sl], (0, pad)), jnp.int32),
+                jnp.asarray(np.pad(dpos[sl], (0, pad)), jnp.int32),
+                jnp.asarray(np.pad(qlo[sl], (0, pad)), jnp.int32),
+                jnp.asarray(np.pad(qhi[sl], (0, pad)), jnp.int32),
+                jnp.asarray(np.pad(dlo[sl], (0, pad)), jnp.int32),
+                jnp.asarray(np.pad(dhi[sl], (0, pad)), jnp.int32),
+                drop, seed_index.SEED_LEN)
+            n_real = len(qpos[sl])
+            for k in res:
+                res[k].append(np.asarray(r[k])[:n_real])
+        res = {k: np.concatenate(v) for k, v in res.items()}
+
+        # 3. per-query assembly in global coordinates -> local hit fields
         out = []
-        for local, gid in enumerate(self.ids):
-            qseq = self.seq[self.starts[local]:self.starts[local + 1]]
-            out.extend(self.search_sequence(qseq, query_idx=int(gid)))
+        for local in np.unique(query_local):
+            sel = query_local == local
+            lo = int(self.starts[local])
+            sub = {k: res[k][sel].copy() for k in res}
+            for k in ("q_beg", "q_end"):
+                sub[k] = sub[k] - lo
+            qseq = self.seq[lo:int(self.starts[local + 1])]
+            out.extend(self._assemble(int(self.ids[local]), qseq, sub,
+                                      dpid[sel]))
         return out
 
 

@@ -205,3 +205,26 @@ def test_pipeline_subset_group(rng):
     # both group members hit each other with global ids preserved
     pairs = {(h.query, h.subject) for h in hits}
     assert (1, 3) in pairs and (3, 1) in pairs
+
+
+def test_search_all_batched_equals_per_query(rng):
+    from hsearch_tpu.core import io as hio
+    base = rng.integers(0, 20, 90).astype(np.int32)
+    seqs = []
+    for i in range(4):
+        s = base.copy()
+        pos = rng.integers(0, 90, 6)
+        s[pos] = rng.integers(0, 20, 6)
+        seqs.append(s)
+    seqs.append(rng.integers(0, 20, 70).astype(np.int32))
+    seqs.append(rng.integers(0, 20, 8).astype(np.int32))   # too short
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=[f"p{i}" for i in range(len(seqs))],
+                       seq=np.concatenate(seqs), starts=starts)
+    searcher = pipeline.ProteinSearcher(db)
+    a = searcher.search_all(batched=True)
+    b = searcher.search_all(batched=False)
+    key = lambda h: (h.query, h.subject, h.q_beg, h.q_end, h.d_beg,
+                     h.d_end, h.score)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert len(a) > 4        # self-hits plus homologs found
