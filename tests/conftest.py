@@ -33,3 +33,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# build the native extension once per session so its tests and fast paths
+# are exercised rather than skipped (ignored if no toolchain)
+def pytest_configure(config):
+    from hsearch_tpu import native_ext
+    if not native_ext.available():
+        native_ext.build()
