@@ -54,9 +54,46 @@ def _radius_block_compact(centers, db, r2, is_kmers: bool, max_hits: int,
     return ids, -neg, n_hits
 
 
+@functools.partial(jax.jit, static_argnames=("is_kmers", "max_hits",
+                                             "fast"))
+def _radius_scan_compact(centers, db_blocks, n_true, r2, is_kmers: bool,
+                        max_hits: int, fast: bool = False):
+    """Streamed variant of _radius_block_compact for large databases.
+
+    db_blocks: (NB, CHUNK, L) — the distance matrix exists only one chunk
+    at a time; a running (C, max_hits) nearest-hit set merges per chunk
+    (the same two-stage top-k idea as the sharded merge).
+    """
+    c = centers.shape[0]
+    nb, chunk, l = db_blocks.shape
+    n_pad = nb * chunk
+
+    def body(carry, dbb):
+        best_d2, best_ids, n_hits, base = carry
+        d2 = _dist_block(centers, dbb, is_kmers, fast)        # (C, CHUNK)
+        ids = base + jnp.arange(chunk, dtype=jnp.int32)
+        valid = ids < n_true
+        hits = valid[None, :] & (d2 <= r2)
+        n_hits = n_hits + jnp.sum(hits, axis=1).astype(jnp.int32)
+        d2m = jnp.where(hits, d2, jnp.inf)
+        cat_d = jnp.concatenate([best_d2, d2m], axis=1)
+        cat_i = jnp.concatenate(
+            [best_ids, jnp.broadcast_to(ids, (c, chunk))], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, max_hits)
+        return (( -neg, jnp.take_along_axis(cat_i, sel, axis=1),
+                  n_hits, base + chunk), None)
+
+    init = (jnp.full((c, max_hits), jnp.inf),
+            jnp.full((c, max_hits), n_pad, jnp.int32),
+            jnp.zeros(c, jnp.int32), jnp.int32(0))
+    (best_d2, best_ids, n_hits, _), _ = jax.lax.scan(body, init, db_blocks)
+    ids = jnp.where(jnp.isfinite(best_d2), best_ids, n_pad)
+    return ids, best_d2, n_hits
+
+
 def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
                   center_block: int = 256, max_hits: int | None = None,
-                  fast: bool = False):
+                  fast: bool = False, db_chunk: int = 1 << 18):
     """All (center, kmer) pairs with embedding distance <= radius.
 
     db_kmers: (N, L) int; centers: (C, L) int k-mers or (C, 8L) real points.
@@ -85,9 +122,20 @@ def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
             ki.append(hit_k)
             dd.append(np.sqrt(d2[hit_c, hit_k]))
         else:
-            ids, d2, n_hits = _radius_block_compact(
-                jnp.asarray(blk), db, jnp.float32(r2), is_kmers, max_hits,
-                fast)
+            if n > db_chunk:
+                # stream db chunks: the (C, N) distance matrix never
+                # materializes (the one-shot path OOMs at N in the
+                # millions)
+                pad_n = (-n) % db_chunk
+                dbp = jnp.pad(db, ((0, pad_n), (0, 0)))
+                blocks = dbp.reshape(-1, db_chunk, db.shape[1])
+                ids, d2, n_hits = _radius_scan_compact(
+                    jnp.asarray(blk), blocks, jnp.int32(n),
+                    jnp.float32(r2), is_kmers, max_hits, fast)
+            else:
+                ids, d2, n_hits = _radius_block_compact(
+                    jnp.asarray(blk), db, jnp.float32(r2), is_kmers,
+                    max_hits, fast)
             ids = np.asarray(ids)
             d2 = np.asarray(d2)
             truncated += int((np.asarray(n_hits) > max_hits).sum())

@@ -256,3 +256,15 @@ def test_weight2_pivot():
     assert evaluate.weight2(49.38) == pytest.approx(0.5)
     assert evaluate.weight2(60.0) == pytest.approx(60.0 / (2 * 49.38))
     assert evaluate.weight2(200.0) == 1.0
+
+
+def test_streamed_radius_matches_oneshot(rng):
+    db = _random_kmers(rng, 700, 10)
+    centers = _random_kmers(rng, 9, 10)
+    r = 40.0
+    a = exact.search_radius(db, centers, r, max_hits=64)
+    b = exact.search_radius(db, centers, r, max_hits=64, db_chunk=128)
+    assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
+    da = {(c, k): d for c, k, d in zip(*a)}
+    for c, k, d in zip(*b):
+        np.testing.assert_allclose(d, da[(c, k)], atol=1e-3)
