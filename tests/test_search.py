@@ -262,8 +262,8 @@ def test_streamed_radius_matches_oneshot(rng):
     db = _random_kmers(rng, 700, 10)
     centers = _random_kmers(rng, 9, 10)
     r = 40.0
-    a = exact.search_radius(db, centers, r, max_hits=64)
-    b = exact.search_radius(db, centers, r, max_hits=64, db_chunk=128)
+    a = exact.search_radius(db, centers, r, max_hits=256)
+    b = exact.search_radius(db, centers, r, max_hits=256, db_chunk=128)
     assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
     da = {(c, k): d for c, k, d in zip(*a)}
     for c, k, d in zip(*b):
