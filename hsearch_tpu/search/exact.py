@@ -111,6 +111,11 @@ def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
     is_kmers = centers.ndim == 2 and centers.shape[1] == db_kmers.shape[1] \
         and np.issubdtype(centers.dtype, np.integer)
     r2 = radius * radius
+    db_blocks = None
+    if max_hits is not None and n > db_chunk:
+        pad_n = (-n) % db_chunk
+        db_blocks = jnp.pad(db, ((0, pad_n), (0, 0))).reshape(
+            -1, db_chunk, db.shape[1])
     ci, ki, dd = [], [], []
     truncated = 0
     for s, blk in _center_blocks(centers, center_block):
@@ -122,15 +127,12 @@ def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
             ki.append(hit_k)
             dd.append(np.sqrt(d2[hit_c, hit_k]))
         else:
-            if n > db_chunk:
+            if db_blocks is not None:
                 # stream db chunks: the (C, N) distance matrix never
                 # materializes (the one-shot path OOMs at N in the
                 # millions)
-                pad_n = (-n) % db_chunk
-                dbp = jnp.pad(db, ((0, pad_n), (0, 0)))
-                blocks = dbp.reshape(-1, db_chunk, db.shape[1])
                 ids, d2, n_hits = _radius_scan_compact(
-                    jnp.asarray(blk), blocks, jnp.int32(n),
+                    jnp.asarray(blk), db_blocks, jnp.int32(n),
                     jnp.float32(r2), is_kmers, max_hits, fast)
             else:
                 ids, d2, n_hits = _radius_block_compact(
