@@ -278,6 +278,42 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     return out_ids, -negd, n_hits, n_alive
 
 
+def autotune_k_blocks(index: IVFIndex, sample_centers: np.ndarray,
+                      radius: float, target_recall: float = 0.99,
+                      candidates: tuple = (32, 64, 128, 192, 256, 384),
+                      max_hits: int = 512) -> int:
+    """Smallest k_blocks reaching ``target_recall`` on a query sample.
+
+    Measures weighted recall (the reference's metric) of each candidate
+    cap against the exact oracle on ``sample_centers`` — measured numbers
+    at 2^19/L=25: 128/192/256 -> 0.993/0.995/0.996.  Returns the largest
+    candidate if none reaches the target.
+    """
+    from . import evaluate, exact
+
+    gci, gki, gd = exact.search_radius(_index_kmers(index),
+                                       sample_centers, radius,
+                                       max_hits=max_hits)
+    for kb in sorted(candidates):
+        ci, ki, _ = search(index, sample_centers, radius,
+                           k_blocks=min(kb, index.num_blocks),
+                           max_hits=max_hits)
+        rep = evaluate.recall_from_indices(gci, gki, gd, ci, ki, radius)
+        if rep.recall >= target_recall:
+            return min(kb, index.num_blocks)
+    return min(max(candidates), index.num_blocks)
+
+
+def _index_kmers(index: IVFIndex) -> np.ndarray:
+    """Recover the original (N, L) k-mer array from the block layout."""
+    order = np.asarray(index.order).reshape(-1)
+    db = np.asarray(index.db_sorted).reshape(-1, index.kmer_len)
+    out = np.zeros((index.n_points, index.kmer_len), np.int32)
+    real = order < index.n_points
+    out[order[real]] = db[real]
+    return out
+
+
 def search(index: IVFIndex, centers: np.ndarray, radius: float,
            k_blocks: int = 64, max_hits: int = 256,
            center_block: int = 256):

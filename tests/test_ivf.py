@@ -97,3 +97,28 @@ def test_multiprobe_home_bucket_first(rng):
     np.testing.assert_array_equal(multi[:, :, 0], single)
     # probes are distinct codes
     assert (multi[:, :, 1:] != multi[:, :, :1]).all()
+
+
+def test_autotune_k_blocks(rng):
+    import warnings
+    n, c, l = 8192, 24, 25
+    db, centers = _family_db(rng, n, c, l)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        kb = ivf.autotune_k_blocks(idx, centers[:12], 35.0,
+                                   target_recall=0.98)
+        assert 32 <= kb <= idx.num_blocks
+        # the tuned cap actually reaches the target on fresh queries
+        ci, ki, _ = ivf.search(idx, centers[12:], 35.0, k_blocks=kb,
+                               max_hits=512)
+    gci, gki, gd = exact.search_radius(db, centers[12:], 35.0)
+    from hsearch_tpu.search import evaluate
+    rep = evaluate.recall_from_indices(gci, gki, gd, ci, ki, 35.0)
+    assert rep.recall >= 0.96      # held-out queries near the target
+
+
+def test_index_kmers_roundtrip(rng):
+    db = rng.integers(0, 20, (509, 10), dtype=np.int32)
+    idx = ivf.build_index(db, jax.random.PRNGKey(1), block_size=32)
+    np.testing.assert_array_equal(ivf._index_kmers(idx), db)
