@@ -215,29 +215,69 @@ def cluster_greedy(kmers: np.ndarray, key: jax.Array,
                 [ids, np.full((npad, config.bucket_max), n, np.int64)])
             valid = np.concatenate(
                 [valid, np.zeros((npad, config.bucket_max), bool)])
-        # process bucket chunks through the device kernel
-        kmers_pad = np.concatenate([kmers, np.zeros((1, l), kmers.dtype)])
-        for s in range(0, ids.shape[0], ck):
-            bids = ids[s:s + ck]
-            bval = valid[s:s + ck]
-            bk = kmers_pad[bids]
-            state = np.where(bval, merged[np.minimum(bids, n - 1)], 2)
-            if use_device:
-                d = _bucket_distances(jnp.asarray(bk, jnp.int32), l)
-                par = np.asarray(_elect_device(
-                    d, jnp.asarray(state), jnp.asarray(bval),
-                    jnp.float32(config.radius)))
-            else:
+        if use_device:
+            # buckets within a round are disjoint (each point lands in
+            # exactly one), so elections are independent: ONE device call
+            # scans all bucket chunks and host state updates once per
+            # round — no per-chunk round trips
+            par = np.asarray(_elect_round(
+                km_dev, jnp.asarray(ids, jnp.int32),
+                jnp.asarray(valid), jnp.asarray(merged),
+                jnp.float32(config.radius), ck))
+            # map parent slots back to global ids row-wise
+            rows, cols = np.nonzero(par >= 0)
+            absorbed = ids[rows, cols]
+            absorber = ids[rows, par[rows, cols]]
+            parent[absorbed] = absorber
+            merged[absorbed] = 2
+            merged[absorber] = 1       # "to be the real center" (:122)
+        else:
+            kmers_pad = np.concatenate([kmers,
+                                        np.zeros((1, l), kmers.dtype)])
+            for s in range(0, ids.shape[0], ck):
+                bids = ids[s:s + ck]
+                bval = valid[s:s + ck]
+                bk = kmers_pad[bids]
+                state = np.where(bval, merged[np.minimum(bids, n - 1)], 2)
                 d = np.sqrt(embedding.DISTANCE_SQUARE[
                     bk[:, :, None, :], bk[:, None, :, :]].sum(-1))
                 par = np.stack([
                     _elect_reference(d[i], state[i], bval[i], config.radius)
                     for i in range(d.shape[0])])
-            for i in range(bids.shape[0]):
-                sel = par[i] >= 0
-                absorbed = bids[i][sel]
-                absorber = bids[i][par[i][sel]]
-                parent[absorbed] = absorber
-                merged[absorbed] = 2
-                merged[absorber] = 1   # "to be the real center" (:122)
+                for i in range(bids.shape[0]):
+                    ssel = par[i] >= 0
+                    absorbed = bids[i][ssel]
+                    absorber = bids[i][par[i][ssel]]
+                    parent[absorbed] = absorber
+                    merged[absorbed] = 2
+                    merged[absorber] = 1
     return ClusterResult(parent=parent, merged=merged)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _elect_round(km_pad_free, ids, valid, merged, radius, chunk: int):
+    """All of a round's bucket elections in one program.
+
+    km_pad_free: (N, L) int32 k-mers (device-resident); ids: (NB, B)
+    global ids with sentinel N; merged: (N,) uint8 state.  Scans chunks
+    of buckets, gathering k-mers and state on device; returns (NB, B)
+    parent slots (or -1).
+    """
+    n, l = km_pad_free.shape
+    km_pad = jnp.concatenate(
+        [km_pad_free, jnp.zeros((1, l), jnp.int32)], axis=0)
+    state_pad = jnp.concatenate(
+        [merged, jnp.full((1,), 2, merged.dtype)], axis=0)
+    nb = ids.shape[0]
+    ids_c = ids.reshape(nb // chunk, chunk, -1)
+    valid_c = valid.reshape(nb // chunk, chunk, -1)
+
+    def body(_, args):
+        bids, bval = args
+        bk = jnp.take(km_pad, bids, axis=0)              # (ck, B, L)
+        state = jnp.where(bval, jnp.take(state_pad, bids, axis=0), 2)
+        d = _bucket_distances(bk, l)
+        return None, _elect_device(d, state, bval, radius)
+
+    _, par = jax.lax.scan(body, None, (ids_c, valid_c))
+    return par.reshape(nb, -1)
