@@ -265,7 +265,14 @@ class ShardedIVFIndex:
 def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
                     mesh: jax.sharding.Mesh, block_size: int = 32,
                     max_hits: int = 256) -> ShardedIVFIndex:
-    """Build one IVF sub-index per ``db`` shard and stack them sharded."""
+    """Build per-shard IVF sub-indexes with shard-local device programs.
+
+    Stage 1 (one shard_mapped program): every shard sample-assigns cells
+    over its rows with the lazy per-block embedding.  Block cutting is
+    host numpy per shard (cheap, vectorized).  Stage 2 (one shard_mapped
+    program): gather the block-sorted rows and bound each block — no
+    per-shard Python device calls, no cross-shard communication at all.
+    """
     from ..search import ivf as ivf_lib
 
     n, l = db_kmers.shape
@@ -273,30 +280,67 @@ def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
     padded, _ = mesh_lib.pad_to_multiple(
         np.asarray(db_kmers, np.int32), ndb, axis=0, fill=0)
     n_local = padded.shape[0] // ndb
+    n_cells = max(1, n_local // block_size)
+    km = jax.device_put(padded, NamedSharding(mesh, P(DB, None)))
     keys = jax.random.split(key, ndb)
-    subs = [ivf_lib.build_index(padded[s * n_local:(s + 1) * n_local],
-                                keys[s], block_size=block_size)
-            for s in range(ndb)]
-    b_max = max(s.num_blocks for s in subs)
-    ds, od, ce, ra = [], [], [], []
-    for s, sub in enumerate(subs):
-        b = sub.num_blocks
-        pad = b_max - b
-        ds.append(np.pad(np.asarray(sub.db_sorted),
-                         ((0, pad), (0, 0), (0, 0))))
-        od.append(np.pad(np.asarray(sub.order), ((0, pad), (0, 0)),
-                         constant_values=n_local))
-        ce.append(np.pad(np.asarray(sub.block_centroid),
-                         ((0, pad), (0, 0))))
-        ra.append(np.pad(np.asarray(sub.block_radius), (0, pad),
-                         constant_values=-np.inf))
-    sh = lambda spec: NamedSharding(mesh, spec)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DB, None), P(DB)), out_specs=P(DB))
+    def _assign(local_km, local_key):
+        return ivf_lib._assign_cells_kmers(
+            local_km, local_key[0], n_cells,
+            block=min(8192, n_local))
+
+    cells = np.asarray(jax.jit(_assign)(km, jnp.asarray(keys)))
+
+    # host: per-shard cell-aligned block cut (same layout as single-host)
+    rows = []
+    for s in range(ndb):
+        c = cells[s * n_local:(s + 1) * n_local]
+        order = np.argsort(c, kind="stable").astype(np.int32)
+        sc = c[order]
+        counts = np.bincount(sc, minlength=n_cells)
+        cap = -(-counts // block_size) * block_size
+        pad_base = np.concatenate([[0], np.cumsum(cap)])
+        cell_base = np.concatenate([[0], np.cumsum(counts)])
+        rank = np.arange(n_local) - cell_base[sc]
+        flat = np.full(int(pad_base[-1]), n_local, np.int32)
+        flat[pad_base[sc] + rank] = order
+        rows.append(flat.reshape(-1, block_size))
+    b_max = max(r.shape[0] for r in rows)
+    order_blocks = np.stack([
+        np.pad(r, ((0, b_max - r.shape[0]), (0, 0)),
+               constant_values=n_local) for r in rows])  # (S, B, bs)
+
+    ob = jax.device_put(order_blocks.reshape(ndb * b_max, block_size),
+                        NamedSharding(mesh, P(DB, None)))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DB, None), P(DB, None)),
+        out_specs=(P(DB, None, None), P(DB, None), P(DB)))
+    def _bounds(local_km, local_ob):
+        coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+        km_pad = jnp.concatenate(
+            [local_km, jnp.zeros((1, l), jnp.int32)], axis=0)
+        db_sorted = jnp.take(km_pad, local_ob, axis=0).astype(jnp.int8)
+        emb = jnp.take(coords, db_sorted.astype(jnp.int32), axis=0)
+        emb = emb.reshape(b_max, block_size, l * coords.shape[1])
+        valid = (local_ob < n_local)[:, :, None]
+        cnt = jnp.maximum(valid.sum(axis=1), 1)
+        cent = jnp.sum(emb * valid, axis=1) / cnt
+        d2 = jnp.sum((emb - cent[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid[..., 0], d2, 0.0)
+        rad = jnp.sqrt(jnp.max(d2, axis=1))
+        # all-padding dummy blocks must never survive pruning
+        rad = jnp.where(valid[..., 0].any(axis=1), rad, -jnp.inf)
+        return db_sorted, cent, rad
+
+    db_sorted, cent, rad = jax.jit(_bounds)(km, ob)
     return ShardedIVFIndex(
-        mesh=mesh,
-        db_sorted=jax.device_put(np.concatenate(ds), sh(P(DB, None, None))),
-        order=jax.device_put(np.concatenate(od), sh(P(DB, None))),
-        block_centroid=jax.device_put(np.concatenate(ce), sh(P(DB, None))),
-        block_radius=jax.device_put(np.concatenate(ra), sh(P(DB))),
+        mesh=mesh, db_sorted=db_sorted, order=ob,
+        block_centroid=cent, block_radius=rad,
         n_points=n, n_local=n_local, max_hits=max_hits)
 
 
