@@ -303,24 +303,57 @@ class ProteinSearcher:
                 out.extend(self.search_sequence(qseq, query_idx=int(gid)))
             return out
 
-        # 1. collect (global qpos, dpos, query-local-id) for every query
-        all_q, all_d, all_query = [], [], []
-        for local in range(len(self.ids)):
-            lo, hi = int(self.starts[local]), int(self.starts[local + 1])
-            qseq = self.seq[lo:hi]
-            if len(qseq) < seed_index.SEED_LEN:
+        # 1. one probe pass over the whole concatenated sequence: every
+        # protein's seed positions probe the shared index together
+        # (chunked over positions to bound the candidate matrix)
+        s_total = len(self.seq)
+        if s_total < seed_index.SEED_LEN:
+            return []
+        chunk = 1 << 15
+        pad = (-s_total) % chunk
+        seq_pad = np.full(s_total + pad, 20, np.int32)
+        seq_pad[:s_total] = self.seq
+        starts_dev = jnp.asarray(self.starts, jnp.int32)
+        codes, valid = seed_index.query_probe_codes(
+            jnp.asarray(seq_pad, jnp.int32), starts_dev)
+        g = np.asarray(seed_index._GROUP21)[np.minimum(seq_pad, 20)]
+        off = seed_index.MER + seed_index.NARROW
+        qgrp10_all = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
+        valid_np = np.asarray(valid)
+        all_q, all_d = [], []
+        n_over_total = 0
+        for s in range(0, len(seq_pad), chunk):
+            sl = slice(s, s + chunk)
+            if not valid_np[sl].any():
                 continue
-            qpos, dpos = self._pairs_for_query(qseq)
-            if qpos.size == 0:
-                continue
-            all_q.append(qpos + lo)
-            all_d.append(dpos)
-            all_query.append(np.full(len(qpos), local, np.int64))
+            cand, n_over = seed_index.probe(
+                self.index, codes[sl, :1],
+                jnp.asarray(qgrp10_all[sl], jnp.int32),
+                self.params.cand_max)
+            n_over_total += int(n_over)
+            cand = np.asarray(cand)
+            qp, slot = np.nonzero((cand >= 0) & valid_np[sl][:, None])
+            all_q.append(qp + s)
+            all_d.append(cand[qp, slot])
+        if n_over_total:
+            import warnings
+            warnings.warn(
+                f"{n_over_total} seed buckets exceeded cand_max="
+                f"{self.params.cand_max}; raise SearchParams.cand_max")
         if not all_q:
             return []
         qpos = np.concatenate(all_q)
         dpos = np.concatenate(all_d)
-        query_local = np.concatenate(all_query)
+        # subjects need the full 10-residue seed (hash_search.cpp:538-540)
+        spid = np.searchsorted(self.starts, dpos, side="right") - 1
+        ok = self.starts[spid + 1] - dpos >= seed_index.SEED_LEN
+        qpos, dpos = qpos[ok], dpos[ok]
+        # dedup multiprobe/duplicate pairs
+        pkey = qpos.astype(np.int64) * max(s_total, 1) + dpos
+        _, first = np.unique(pkey, return_index=True)
+        qpos, dpos = qpos[first], dpos[first]
+        query_local = np.searchsorted(self.starts, qpos,
+                                      side="right") - 1
 
         # 2. one batched extension stream over the shared array
         p = self.params
