@@ -267,11 +267,20 @@ def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
                     max_hits: int = 256) -> ShardedIVFIndex:
     """Build per-shard IVF sub-indexes with shard-local device programs.
 
-    Stage 1 (one shard_mapped program): every shard sample-assigns cells
-    over its rows with the lazy per-block embedding.  Block cutting is
-    host numpy per shard (cheap, vectorized).  Stage 2 (one shard_mapped
-    program): gather the block-sorted rows and bound each block — no
-    per-shard Python device calls, no cross-shard communication at all.
+    Three shard_mapped programs, no cross-shard communication and no O(N)
+    host transfers (a host-side cut would drag the (N,) cell ids down and
+    the (N,) block order back up — minutes over a slow link at IGC scale):
+
+      1. every shard sample-assigns cells over its rows with the lazy
+         per-block embedding (cell ids stay device-resident);
+      2. every shard cuts cell-aligned blocks on device into a fixed
+         2x-capacity layout (each cell wastes < block_size slots, so
+         n_local + n_cells*(bs-1) slots always suffice), then stably
+         sorts real blocks ahead of all-padding dummies — only the (S,)
+         per-shard real-block counts cross to host;
+      3. every shard slices its first ``b_max`` blocks (the max real
+         count, a static shape), gathers the block-sorted rows and
+         bounds each block.
     """
     from ..search import ivf as ivf_lib
 
@@ -283,45 +292,44 @@ def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
     n_cells = max(1, n_local // block_size)
     km = jax.device_put(padded, NamedSharding(mesh, P(DB, None)))
     keys = jax.random.split(key, ndb)
+    b_cap = (n_local + n_cells * (block_size - 1)
+             + block_size - 1) // block_size
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(DB, None), P(DB)), out_specs=P(DB))
-    def _assign(local_km, local_key):
-        return ivf_lib._assign_cells_kmers(
-            local_km, local_key[0], n_cells,
-            block=min(8192, n_local))
-
-    cells = np.asarray(jax.jit(_assign)(km, jnp.asarray(keys)))
-
-    # host: per-shard cell-aligned block cut (same layout as single-host)
-    rows = []
-    for s in range(ndb):
-        c = cells[s * n_local:(s + 1) * n_local]
-        order = np.argsort(c, kind="stable").astype(np.int32)
-        sc = c[order]
-        counts = np.bincount(sc, minlength=n_cells)
+        in_specs=(P(DB, None), P(DB)),
+        out_specs=(P(DB, None, None), P(DB)))
+    def _cut(local_km, local_key):
+        cells = ivf_lib._assign_cells_kmers(
+            local_km, local_key[0], n_cells, block=min(8192, n_local))
+        order = jnp.argsort(cells, stable=True).astype(jnp.int32)
+        sc = jnp.take(cells, order)
+        ones = jnp.ones((n_local,), jnp.int32)
+        counts = jax.ops.segment_sum(ones, cells, num_segments=n_cells)
         cap = -(-counts // block_size) * block_size
-        pad_base = np.concatenate([[0], np.cumsum(cap)])
-        cell_base = np.concatenate([[0], np.cumsum(counts)])
-        rank = np.arange(n_local) - cell_base[sc]
-        flat = np.full(int(pad_base[-1]), n_local, np.int32)
-        flat[pad_base[sc] + rank] = order
-        rows.append(flat.reshape(-1, block_size))
-    b_max = max(r.shape[0] for r in rows)
-    order_blocks = np.stack([
-        np.pad(r, ((0, b_max - r.shape[0]), (0, 0)),
-               constant_values=n_local) for r in rows])  # (S, B, bs)
+        pad_base = jnp.cumsum(cap) - cap            # exclusive
+        cell_base = jnp.cumsum(counts) - counts
+        rank = jnp.arange(n_local, dtype=jnp.int32) - \
+            jnp.take(cell_base, sc).astype(jnp.int32)
+        flat = jnp.full((b_cap * block_size,), n_local, jnp.int32)
+        flat = flat.at[jnp.take(pad_base, sc).astype(jnp.int32)
+                       + rank].set(order, mode="drop")
+        ob = flat.reshape(b_cap, block_size)
+        dummy = (ob >= n_local).all(axis=1)
+        perm = jnp.argsort(dummy.astype(jnp.int32), stable=True)
+        return (jnp.take(ob, perm, axis=0)[None],
+                jnp.sum(~dummy, keepdims=True).astype(jnp.int32))
 
-    ob = jax.device_put(order_blocks.reshape(ndb * b_max, block_size),
-                        NamedSharding(mesh, P(DB, None)))
+    ob_full, n_real = jax.jit(_cut)(km, jnp.asarray(keys))
+    b_max = max(1, int(np.max(np.asarray(n_real))))   # (S,) ints only
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(DB, None), P(DB, None)),
-        out_specs=(P(DB, None, None), P(DB, None), P(DB)))
-    def _bounds(local_km, local_ob):
+        in_specs=(P(DB, None), P(DB, None, None)),
+        out_specs=(P(DB, None, None), P(DB, None), P(DB), P(DB, None)))
+    def _bounds(local_km, local_ob_full):
         coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+        local_ob = local_ob_full[0, :b_max]
         km_pad = jnp.concatenate(
             [local_km, jnp.zeros((1, l), jnp.int32)], axis=0)
         db_sorted = jnp.take(km_pad, local_ob, axis=0).astype(jnp.int8)
@@ -335,9 +343,9 @@ def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
         rad = jnp.sqrt(jnp.max(d2, axis=1))
         # all-padding dummy blocks must never survive pruning
         rad = jnp.where(valid[..., 0].any(axis=1), rad, -jnp.inf)
-        return db_sorted, cent, rad
+        return db_sorted, cent, rad, local_ob
 
-    db_sorted, cent, rad = jax.jit(_bounds)(km, ob)
+    db_sorted, cent, rad, ob = jax.jit(_bounds)(km, ob_full)
     return ShardedIVFIndex(
         mesh=mesh, db_sorted=db_sorted, order=ob,
         block_centroid=cent, block_radius=rad,
