@@ -150,7 +150,7 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
         db_pad = jnp.concatenate(
             [db_local, jnp.zeros((1, kmer_len), jnp.int32)], axis=0)
         cand = jnp.take(db_pad, ids, axis=0)                     # (C, M, L)
-        d2 = distance.ptable_distances(ptab, cand)
+        d2 = distance.ptable_distances_mxu(ptab, cand)
         shard = jax.lax.axis_index(DB).astype(jnp.int32)
         # mask the zero-filled padding rows at the global tail: their
         # local ids are < n_local on the last shard, but their global ids
@@ -381,7 +381,7 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
         ids = jnp.take(order, safe, axis=0).reshape(-1, kb * bs)
         ids = jnp.where(jnp.repeat(blk_alive, bs, axis=1), ids, n_local)
         ptab = motif._center_ptables(centers_local, l)
-        d2 = distance.ptable_distances(ptab, cand)
+        d2 = distance.ptable_distances_mxu(ptab, cand)
         shard = jax.lax.axis_index(DB).astype(jnp.int32)
         # mask zero-filled padding rows at the global tail (see
         # _search_step): valid local id but out-of-range global id

@@ -131,7 +131,7 @@ def _probe_verify(index: MotifIndex, centers: jax.Array,
     # exact distances via P-tables
     ptab = _center_ptables(centers, index.kmer_len)       # (C, L, 20)
     cand = jnp.take(index.db_kmers, ids, axis=0)          # (C, M, L)
-    d2 = distance.ptable_distances(ptab, cand)            # (C, M)
+    d2 = distance.ptable_distances_mxu(ptab, cand)        # (C, M)
     hits = (ids < n) & (d2 <= r2)
     n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
     # compact: top max_hits by (ascending) distance, misses pushed to +inf
