@@ -333,6 +333,10 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     n = index.n_points
     ci, ki, dd = [], [], []
     over_blocks = over_hits = 0
+    # two passes: dispatch every center block first (jax dispatch is
+    # async), then harvest — block i's device->host transfer overlaps
+    # block i+1's compute instead of serializing with it
+    pending = []
     for s in range(0, c_total, center_block):
         blk = np.asarray(centers[s:s + center_block])
         cemb = cemb_all[s:s + center_block]
@@ -341,9 +345,10 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
             cemb = np.pad(cemb, ((0, pad), (0, 0)))
         cblk = jnp.asarray(blk, jnp.int32 if is_kmers else jnp.float32)
-        ids, d2, n_hits, n_alive = _search_block(
+        pending.append((s, pad, _search_block(
             index, cblk, jnp.asarray(cemb, jnp.float32),
-            jnp.float32(radius), k_blocks, max_hits)
+            jnp.float32(radius), k_blocks, max_hits)))
+    for s, pad, (ids, d2, n_hits, n_alive) in pending:
         ids = np.array(ids)
         d2 = np.asarray(d2)
         real = center_block - pad
