@@ -268,3 +268,23 @@ def test_streamed_radius_matches_oneshot(rng):
     da = {(c, k): d for c, k, d in zip(*a)}
     for c, k, d in zip(*b):
         np.testing.assert_allclose(d, da[(c, k)], atol=1e-3)
+
+
+def test_ptable_distances_mxu_matches_gather(rng):
+    """The MXU one-hot contraction equals the per-position gather form
+    (and both equal the direct sum) for int8 candidates and ragged M."""
+    from hsearch_tpu.search.motif import _center_ptables
+    c, m, l = 5, 77, 12          # m deliberately not a chunk multiple
+    centers = rng.integers(0, 20, (c, l), dtype=np.int32)
+    cand = rng.integers(0, 20, (c, m, l)).astype(np.int8)
+    ptab = _center_ptables(jax.numpy.asarray(centers), l)
+    a = np.asarray(distance.ptable_distances(ptab, jax.numpy.asarray(cand)))
+    b = np.asarray(distance.ptable_distances_mxu(
+        ptab, jax.numpy.asarray(cand), chunk=32))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
+    pt = np.asarray(ptab)
+    direct = np.zeros((c, m), np.float32)
+    for ci in range(c):
+        for mi in range(m):
+            direct[ci, mi] = pt[ci, np.arange(l), cand[ci, mi]].sum()
+    np.testing.assert_allclose(b, direct, rtol=1e-5, atol=1e-3)
