@@ -197,16 +197,20 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
     arr = np.asarray(centers, np.int32 if is_kmers else np.float32)
     out_c, out_k, out_d = [], [], []
     truncated = 0
+    # dispatch every center block before harvesting any (async dispatch
+    # overlaps block i's device->host transfer with block i+1's compute)
+    pending = []
     for s in range(0, c, cb):
         blk = arr[s:s + cb]
         pad = cb - blk.shape[0]
         if pad:
             blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
         cdev = jax.device_put(blk, NamedSharding(index.mesh, P(DATA, None)))
-        gids, d2, n_hits = step(index.sorted_codes, index.perm,
-                                index.db_kmers, cdev, index.params.a,
-                                index.params.b,
-                                jnp.float32(radius * radius))
+        pending.append((s, pad, step(index.sorted_codes, index.perm,
+                                     index.db_kmers, cdev, index.params.a,
+                                     index.params.b,
+                                     jnp.float32(radius * radius))))
+    for s, pad, (gids, d2, n_hits) in pending:
         real = cb - pad
         gids = np.asarray(gids)[:real]
         d2 = np.asarray(d2)[:real]
@@ -423,6 +427,8 @@ def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
     sh = NamedSharding(index.mesh, P(DATA, None))
     out_c, out_k, out_d = [], [], []
     over_hits = over_blocks = 0
+    # two-pass dispatch/harvest, as in search.ivf.search
+    pending = []
     for s in range(0, c, cb):
         blk = arr[s:s + cb]
         pad = cb - blk.shape[0]
@@ -430,11 +436,12 @@ def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
             blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
         cemb = emb_lib.embed_kmers(blk) if is_kmers \
             else np.asarray(blk, np.float32)
-        gids, d2, n_hits, n_alive = step(
+        pending.append((s, pad, step(
             index.db_sorted, index.order, index.block_centroid,
             index.block_radius, jax.device_put(blk, sh),
             jax.device_put(np.asarray(cemb, np.float32), sh),
-            jnp.float32(radius))
+            jnp.float32(radius))))
+    for s, pad, (gids, d2, n_hits, n_alive) in pending:
         real = cb - pad
         gids = np.asarray(gids)[:real]
         d2 = np.asarray(d2)[:real]
