@@ -153,8 +153,11 @@ def _adaptive():
     signal.signal(signal.SIGTERM, _reap)
     signal.signal(signal.SIGINT, _reap)
     # deadlines leave room for the in-process last resort inside a
-    # ~600 s driver budget even when every attempt times out
-    for log2n, deadline in ((20, 330), (17, 140)):
+    # ~600 s driver budget even when every attempt times out.  The
+    # headline size gets the lion's share: tunnel-slow sessions inflate
+    # everything ~3x, and a warm-cache 2^20 run needs ~150 s healthy /
+    # ~430 s slow, while the 2^17 fallback is cheap either way.
+    for log2n, deadline in ((20, 430), (17, 100)):
         env = dict(os.environ, _HSEARCH_BENCH_INNER="1",
                    HSEARCH_BENCH_N=str(log2n))
         child = subprocess.Popen([sys.executable, "-u", __file__],
