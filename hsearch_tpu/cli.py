@@ -62,12 +62,28 @@ def _read_kmer_input(path: str, k: int):
 def cmd_protein2datapoints(args):
     import jax  # noqa: F401  (device warmup not needed; host-only tool)
     from .core import dataprep, embedding, io as hio
-    db = hio.read_fasta(args.database, seed=args.seed)
     rng = np.random.default_rng(args.seed)
-    headers, kmers = dataprep.sample_kmer_datapoints(db, args.kmer_len, rng)
-    pts = embedding.embed_kmers(kmers)
-    hio.write_datapoints(args.output, headers, pts)
-    print(f"[WROTE {len(headers)} datapoints to {args.output}]",
+    if args.stream_aa:
+        # bounded-memory pass for IGC-scale corpora: chunked read,
+        # incremental datapoint writing (identical output to the
+        # whole-file path — io.stream_fasta carries one rng)
+        total = 0
+        with open(args.output, "w") as f:
+            chunks = hio.stream_fasta(args.database, seed=args.seed,
+                                      chunk_aa=args.stream_aa)
+            for headers, kmers in dataprep.stream_kmer_datapoints(
+                    chunks, args.kmer_len, rng):
+                hio.write_datapoints(f, headers,
+                                     embedding.embed_kmers(kmers))
+                total += len(headers)
+    else:
+        db = hio.read_fasta(args.database, seed=args.seed)
+        headers, kmers = dataprep.sample_kmer_datapoints(
+            db, args.kmer_len, rng)
+        hio.write_datapoints(args.output, headers,
+                             embedding.embed_kmers(kmers))
+        total = len(headers)
+    print(f"[WROTE {total} datapoints to {args.output}]",
           file=sys.stderr)
 
 
@@ -303,8 +319,13 @@ def cmd_gen_kmers(args):
     from .core import alphabet, dataprep, io as hio
     # seed=None: keep unknown residues so unique_kmers excludes windows
     # containing them (randomizing first would fabricate k-mers)
-    db = hio.read_fasta(args.database, seed=None)
-    kmers, counts = dataprep.unique_kmers(db, args.kmer_len)
+    if args.stream_aa:
+        kmers, counts = dataprep.stream_unique_kmers(
+            hio.stream_fasta(args.database, seed=None,
+                             chunk_aa=args.stream_aa), args.kmer_len)
+    else:
+        db = hio.read_fasta(args.database, seed=None)
+        kmers, counts = dataprep.unique_kmers(db, args.kmer_len)
     with open(args.output, "w") as f:
         for km, c in zip(kmers, counts):
             f.write(f"{alphabet.decode(km)}\t{c}\n")
@@ -458,6 +479,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-o", "--output", required=True)
     q.add_argument("-l", "--kmer-len", type=int, default=25)
     q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--stream-aa", type=int, default=0, metavar="N",
+                   help="stream the FASTA in ~N-residue chunks "
+                        "(bounded memory; identical output)")
     q.set_defaults(func=cmd_protein2datapoints)
 
     q = sub.add_parser("motif-search")
@@ -553,6 +577,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-o", "--output", required=True)
     q.add_argument("-l", "--kmer-len", type=int, default=10)
     q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--stream-aa", type=int, default=0, metavar="N",
+                   help="stream the FASTA in ~N-residue chunks")
     q.set_defaults(func=cmd_gen_kmers)
 
     q = sub.add_parser("orf")

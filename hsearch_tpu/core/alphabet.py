@@ -69,6 +69,32 @@ def randomize_unknown(idx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return idx
 
 
+def randomize_unknown_at(idx: np.ndarray, seed: int,
+                         offset: int = 0) -> np.ndarray:
+    """Position-keyed INVALID replacement (splitmix64 of seed + position).
+
+    Unlike ``randomize_unknown``, each replacement depends only on
+    (seed, absolute position), so chunked streaming reads produce the
+    same residues as a whole-file read regardless of chunk boundaries
+    (Generator.integers draws are NOT splittable across calls — buffered
+    rejection sampling consumes bitgen words per call, not per value).
+    """
+    idx = np.asarray(idx)
+    bad = np.nonzero(idx == INVALID)[0]
+    if bad.size == 0:
+        return idx
+    idx = idx.copy()
+    with np.errstate(over="ignore"):
+        z = (bad.astype(np.uint64) + np.uint64(offset)
+             + np.uint64(seed) * np.uint64(0xD1B54A32D192ED03)
+             + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    idx[bad] = ((z >> np.uint64(8)) % np.uint64(20)).astype(np.uint8)
+    return idx
+
+
 def kmer_view(idx: np.ndarray, k: int, stride: int = 1) -> np.ndarray:
     """All length-k windows of a 1-D index array as an (n, k) strided view."""
     idx = np.ascontiguousarray(idx)

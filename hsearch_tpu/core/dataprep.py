@@ -55,6 +55,70 @@ def _dp_header(name: str, pid: int, off: int, kmer: np.ndarray,
                                 alphabet.decode(kmer), cnt)
 
 
+def stream_kmer_datapoints(db_chunks, k: int, rng: np.random.Generator,
+                           dedup: bool = True):
+    """Streaming ``sample_kmer_datapoints`` over ProteinDB chunks.
+
+    Yields one (headers, kmers) pair per input chunk; the dedup set,
+    protein indices, and datapoint counter are global across chunks, so
+    concatenating the yields over ``io.stream_fasta(path)`` equals
+    ``sample_kmer_datapoints(io.read_fasta(path), ...)`` exactly — with
+    host memory bounded by one chunk plus the dedup set.
+    """
+    seen: set[bytes] = set() if dedup else None
+    pid_off = 0
+    cnt = 0
+    for db in db_chunks:
+        headers: list[str] = []
+        rows: list[np.ndarray] = []
+        for i in range(db.num_proteins):
+            seq = np.asarray(db.protein(i))
+            j = 0
+            while j + k <= len(seq):
+                kmer = seq[j:j + k]
+                key = kmer.tobytes()
+                if (seen is not None and key in seen) or \
+                        (kmer >= 20).any():
+                    j += 30 + int(rng.integers(0, 20))
+                    continue
+                if seen is not None:
+                    seen.add(key)
+                headers.append(_dp_header(db.names[i], pid_off + i, j,
+                                          kmer, cnt))
+                rows.append(kmer.astype(np.int32))
+                cnt += 1
+                j += 30 + int(rng.integers(0, 20))
+        pid_off += db.num_proteins
+        yield headers, (np.stack(rows) if rows
+                        else np.zeros((0, k), np.int32))
+
+
+def stream_unique_kmers(db_chunks, k: int):
+    """Streaming ``unique_kmers``: merge per-chunk uniques with counts.
+
+    Chunks from ``io.stream_fasta`` split at protein boundaries and
+    ``unique_kmers`` never counts windows crossing protein boundaries,
+    so the merged result equals the whole-corpus call.  Memory is one
+    chunk plus the (output-sized) running unique set.
+    """
+    acc_k = np.zeros((0, k), np.int32)
+    acc_c = np.zeros(0, np.int64)
+    for db in db_chunks:
+        uk, uc = unique_kmers(db, k)
+        if uk.shape[0] == 0:
+            continue
+        if acc_k.shape[0] == 0:
+            acc_k, acc_c = uk, uc
+            continue
+        allk = np.concatenate([acc_k, uk])
+        allc = np.concatenate([acc_c, uc])
+        acc_k, inv = np.unique(allk, axis=0, return_inverse=True)
+        # bincount weights are f64 — exact for counts < 2^53
+        acc_c = np.bincount(inv.reshape(-1), weights=allc,
+                            minlength=acc_k.shape[0]).astype(np.int64)
+    return acc_k, acc_c
+
+
 def suffix_array(seq: np.ndarray) -> np.ndarray:
     """Suffix array by prefix doubling (O(n log^2 n), fully vectorized).
 

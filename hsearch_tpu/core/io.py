@@ -77,9 +77,11 @@ def read_fasta(path_or_file, *, seed: int | None = 0,
                 parsed = native_ext.parse_fasta_bytes(fh.read())
             if parsed is not None:
                 names, seq, starts = parsed
+                # the native lut emits 20 for unknown alphabetics; fold to
+                # INVALID so both parsers randomize (or keep) identically
+                seq = np.where(seq == 20, np.uint8(alphabet.INVALID), seq)
                 if seed is not None:
-                    seq = alphabet.randomize_unknown(
-                        seq, np.random.default_rng(seed))
+                    seq = alphabet.randomize_unknown_at(seq, seed)
                 return ProteinDB(names=names, seq=seq,
                                  starts=starts.astype(np.int64))
     close = False
@@ -128,9 +130,83 @@ def read_fasta(path_or_file, *, seed: int | None = 0,
 
     seq = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
     if seed is not None:
-        seq = alphabet.randomize_unknown(seq, np.random.default_rng(seed))
+        seq = alphabet.randomize_unknown_at(seq, seed)
     return ProteinDB(names=names, seq=seq,
                      starts=np.asarray(starts, dtype=np.int64))
+
+
+def stream_fasta(path_or_file, *, chunk_aa: int = 1 << 24,
+                 seed: int | None = 0, name_upto_space: bool = True,
+                 drop_non_alpha: bool = True):
+    """Yield ProteinDB chunks of >= ``chunk_aa`` residues (whole proteins).
+
+    Bounded-memory FASTA reading for IGC-scale corpora (the reference
+    loads the whole file; its IGC tools shard by splitting files).
+    Chunks always break at protein boundaries, and unknown-residue
+    replacement is position-keyed (``randomize_unknown_at`` with each
+    chunk's global offset), so ``concat(stream_fasta(p))`` is
+    element-identical to ``read_fasta(p)`` with the same seed.  A
+    protein longer than ``chunk_aa`` becomes its own chunk.
+    """
+    close = False
+    if isinstance(path_or_file, (str, bytes)):
+        f = open(path_or_file, "r")
+        close = True
+    else:
+        f = path_or_file
+    names: list[str] = []
+    chunks: list[np.ndarray] = []
+    starts = [0]
+    cur: list[bytes] = []
+    total = 0
+    global_off = 0
+
+    def _flush():
+        nonlocal total
+        if not names:
+            cur.clear()      # text before the first '>' is not sequence
+            return
+        raw = b"".join(cur)
+        if drop_non_alpha:
+            raw = bytes(c for c in raw if (65 <= (c & ~32) <= 90))
+        idx = alphabet.encode(raw)
+        chunks.append(idx)
+        total += len(idx)
+        starts.append(total)
+        cur.clear()
+
+    def _emit():
+        nonlocal names, chunks, starts, total, global_off
+        seq = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
+        if seed is not None:
+            seq = alphabet.randomize_unknown_at(seq, seed, global_off)
+        db = ProteinDB(names=names, seq=seq,
+                       starts=np.asarray(starts, np.int64))
+        global_off += len(seq)
+        names, chunks, starts, total = [], [], [0], 0
+        return db
+
+    try:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                _flush()
+                if total >= chunk_aa:
+                    yield _emit()
+                name = line[1:]
+                if name_upto_space:
+                    name = name.split(" ", 1)[0]
+                names.append(name)
+            else:
+                cur.append(line.encode())
+        _flush()
+        if names:
+            yield _emit()
+    finally:
+        if close:
+            f.close()
 
 
 def write_fasta(path_or_file, names, seqs) -> None:

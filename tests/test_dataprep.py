@@ -56,3 +56,55 @@ def test_corpus_and_annotation_stats(tmp_path, rng):
     a = dataprep.annotation_stats(str(ann))
     assert (a.total, a.unknown) == (2, 1)
     assert (a.total_length, a.unknown_length) == (500, 200)
+
+
+def _random_fasta(tmp_path, rng, n=40, lmin=5, lmax=120, unknowns=True):
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    path = tmp_path / "db.fasta"
+    with open(path, "w") as f:
+        for i in range(n):
+            ln = int(rng.integers(lmin, lmax))
+            s = "".join(
+                ("X" if unknowns and rng.random() < 0.02
+                 else aa[rng.integers(0, 20)]) for _ in range(ln))
+            f.write(f">p{i} desc{i}\n")
+            for j in range(0, ln, 17):       # multi-line records
+                f.write(s[j:j + 17] + "\n")
+    return str(path)
+
+
+def test_stream_fasta_equals_read_fasta(tmp_path, rng):
+    path = _random_fasta(tmp_path, rng)
+    whole = hio.read_fasta(path, seed=7)
+    chunks = list(hio.stream_fasta(path, seed=7, chunk_aa=200))
+    assert len(chunks) > 3                   # actually chunked
+    names = [n for c in chunks for n in c.names]
+    seq = np.concatenate([c.seq for c in chunks])
+    lens = np.concatenate([np.diff(c.starts) for c in chunks])
+    assert names == whole.names
+    np.testing.assert_array_equal(seq, whole.seq)
+    np.testing.assert_array_equal(lens, np.diff(whole.starts))
+
+
+def test_stream_kmer_datapoints_equals_whole(tmp_path, rng):
+    path = _random_fasta(tmp_path, rng)
+    whole = hio.read_fasta(path, seed=3)
+    h1, k1 = dataprep.sample_kmer_datapoints(
+        whole, 10, np.random.default_rng(11))
+    outs = list(dataprep.stream_kmer_datapoints(
+        hio.stream_fasta(path, seed=3, chunk_aa=200), 10,
+        np.random.default_rng(11)))
+    h2 = [h for hs, _ in outs for h in hs]
+    k2 = np.concatenate([k for _, k in outs])
+    assert h1 == h2
+    np.testing.assert_array_equal(k1, k2)
+
+
+def test_stream_unique_kmers_equals_whole(tmp_path, rng):
+    path = _random_fasta(tmp_path, rng)
+    whole = hio.read_fasta(path, seed=None)
+    k1, c1 = dataprep.unique_kmers(whole, 8)
+    k2, c2 = dataprep.stream_unique_kmers(
+        hio.stream_fasta(path, seed=None, chunk_aa=150), 8)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(c1, c2)
