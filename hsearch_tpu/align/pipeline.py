@@ -404,21 +404,25 @@ def refine_gapped(searcher: ProteinSearcher, qseq: np.ndarray,
     The reference declares a gapped stage above GapExtSCut but never
     invokes it (AlignGapped, hash_search.cpp:718-948 — dead code); this is
     the working version: hits whose ungapped score reaches the gap trigger
-    are re-aligned over their span (plus ``margin`` residues each side)
-    with affine gaps and full traceback (native C++ when built,
-    numpy fallback).  Scores/identity/extents update when the gapped
-    alignment wins; e-values are recomputed with gapped statistics.
+    are batch-SCORED on device (align/gapped_device.py, one wavefront
+    program over every triggered hit at once), and only hits whose gapped
+    score actually improves get the host traceback (native C++ when
+    built, numpy fallback).  Scores/identity/extents update when the
+    gapped alignment wins; e-values are recomputed with gapped
+    statistics.
     """
     from .. import native_ext
     from ..core import blosum as _blosum
+    from . import gapped_device
     cut = searcher.cutoffs
     searcher.stat.set_query(len(qseq))
     sub21 = np.full((21, 21), extend.NEGSCORE, np.int32)
     sub21[:20, :20] = _blosum.BLOSUM62
-    out = []
-    for h in hits:
+
+    # windows of the gap-triggered hits
+    wins: dict[int, tuple] = {}
+    for idx, h in enumerate(hits):
         if h.score < cut.gap_trigger:
-            out.append(h)
             continue
         local = int(np.nonzero(searcher.ids == h.subject)[0][0])
         dlo = int(searcher.starts[local])
@@ -427,6 +431,43 @@ def refine_gapped(searcher: ProteinSearcher, qseq: np.ndarray,
         qb = min(len(qseq), h.q_end + margin)
         da = max(dlo, dlo + h.d_beg - 1 - margin)
         db_ = min(dhi, dlo + h.d_end + margin)
+        wins[idx] = (qa, qb, da, db_, dlo)
+
+    # one device program scores every triggered hit; the host traceback
+    # runs only where the gapped score beats the ungapped one (device and
+    # native scores are exact-equal — tests/test_gapped_device.py)
+    improves: dict[int, bool] = {}
+    if len(wins) > 1:
+        import jax.numpy as _jnp
+        keys = list(wins)
+        lq = max(wins[i][1] - wins[i][0] for i in keys)
+        ld = max(wins[i][3] - wins[i][2] for i in keys)
+        # length-bucket so repeated refine calls share compiled programs
+        lq = -(-max(lq, 16) // 64) * 64
+        ld = -(-max(ld, 16) // 64) * 64
+        qb_ = np.full((len(keys), lq), 20, np.int32)
+        db2 = np.full((len(keys), ld), 20, np.int32)
+        qlen = np.zeros(len(keys), np.int32)
+        dlen = np.zeros(len(keys), np.int32)
+        for r, i in enumerate(keys):
+            qa, qe_, da, de_, _ = wins[i]
+            qlen[r], dlen[r] = qe_ - qa, de_ - da
+            qb_[r, :qlen[r]] = np.minimum(qseq[qa:qe_], 20)
+            db2[r, :dlen[r]] = np.minimum(searcher.seq[da:de_], 20)
+        sc, _, _ = gapped_device.banded_scores(
+            _jnp.asarray(qb_), _jnp.asarray(qlen), _jnp.asarray(db2),
+            _jnp.asarray(dlen), _jnp.asarray(sub21), cut.gap_open,
+            cut.gap_extend, int(round(cut.gap_ext_drop)), band)
+        sc = np.asarray(sc)
+        for r, i in enumerate(keys):
+            improves[i] = int(sc[r]) > hits[i].score
+
+    out = []
+    for idx, h in enumerate(hits):
+        if idx not in wins or not improves.get(idx, True):
+            out.append(h)
+            continue
+        qa, qb, da, db_, dlo = wins[idx]
         res = native_ext.align_gapped(
             np.minimum(qseq[qa:qb], 20).astype(np.int32),
             np.minimum(searcher.seq[da:db_], 20).astype(np.int32),
