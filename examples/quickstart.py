@@ -12,8 +12,10 @@ import tempfile
 
 import numpy as np
 
-# force CPU when no accelerator is wanted:
-# import jax; jax.config.update("jax_platforms", "cpu")
+# HSEARCH_PLATFORM=cpu forces CPU (same knob as the CLI --platform flag)
+if os.environ.get("HSEARCH_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["HSEARCH_PLATFORM"])
 import jax
 
 from hsearch_tpu.core import alphabet, io as hio
