@@ -223,3 +223,16 @@ def test_evaluate_motifs_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     # sums over the union of motifs: meme 3 proteins, hclust 4
     assert "ACCURACY: 3 4" in out
+
+
+def test_streaming_flags_identical_output(tmp_path, fasta_db):
+    db_path, _ = fasta_db
+    a, b = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    cli.main(["protein2datapoints", "-d", db_path, "-o", a, "-l", "10"])
+    cli.main(["protein2datapoints", "-d", db_path, "-o", b, "-l", "10",
+              "--stream-aa", "500"])
+    assert open(a).read() == open(b).read()
+    cli.main(["gen-kmers", "-d", db_path, "-o", a, "-l", "8"])
+    cli.main(["gen-kmers", "-d", db_path, "-o", b, "-l", "8",
+              "--stream-aa", "500"])
+    assert open(a).read() == open(b).read()
