@@ -78,7 +78,10 @@ def main():
     print(f"# build done {build_s:.1f}s B={index.num_blocks}",
           file=sys.stderr, flush=True)
 
-    kb, mh, cb = 128, 512, 128
+    # one 256-center device call per search: measured 1.5-1.6x the
+    # two-call cb=128 split (each call pays a ~30 ms tunnel dispatch
+    # floor and serializes its transfer tail)
+    kb, mh, cb = 128, 512, 256
     ivf.search(index, centers[:cb], radius, k_blocks=kb, max_hits=mh,
                center_block=cb)                       # warmup/compile
     iters = 3
