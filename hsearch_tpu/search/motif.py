@@ -193,6 +193,9 @@ def search(index: MotifIndex, centers: np.ndarray,
     n = index.num_points
     ci_all, ki_all, dd_all = [], [], []
     truncated = 0
+    # two-pass dispatch/harvest (as search.ivf.search): queue every
+    # center block before pulling any result so transfers overlap compute
+    pending = []
     for s in range(0, centers.shape[0], cb):
         blk = np.asarray(centers[s:s + cb])
         pad = cb - blk.shape[0]
@@ -206,8 +209,9 @@ def search(index: MotifIndex, centers: np.ndarray,
         else:
             qcodes = pstable.hash_codes(cblk, index.params,
                                         is_kmers=is_kmers).T
-        hit_ids, d2, n_hits = _probe_verify(index, cblk, qcodes, r2,
-                                            index.cand_max, config.max_hits)
+        pending.append((s, pad, _probe_verify(
+            index, cblk, qcodes, r2, index.cand_max, config.max_hits)))
+    for s, pad, (hit_ids, d2, n_hits) in pending:
         hit_ids = np.array(hit_ids)   # writable copy: padding rows are masked
         d2 = np.asarray(d2)
         n_hits = np.asarray(n_hits)
