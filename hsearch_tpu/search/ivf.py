@@ -230,8 +230,9 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
                   r: jax.Array, k_blocks: int, max_hits: int):
     """One center block: prune blocks, gather survivors, exact verify.
 
-    Returns (ids (C, max_hits) sentinel-N, d2 (C, max_hits), n_hits (C,),
-    n_alive (C,) — surviving-block counts to detect k_blocks overflow).
+    Returns (packed (4, cap) int32 — rows [cid | kid | d2-bits | meta]
+    with meta = [total, n_hits (C), n_alive (C), 0...]; ids (C, max_hits)
+    sentinel-N and d2 (C, max_hits) as the lossless overflow fallback).
     """
     n = index.n_points
     bs = index.block_size
@@ -275,7 +276,32 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     negd, sel = jax.lax.top_k(-d2m, k)
     out_ids = jnp.where(jnp.isfinite(negd),
                         jnp.take_along_axis(gids, sel, axis=1), n)
-    return out_ids, -negd, n_hits, n_alive
+    out_d2 = -negd
+    # flat-pack the sparse hit slots into ONE int32 buffer.  The tunnel
+    # charges per TRANSFER as much as per byte, so the harvest reads a
+    # single quarter-capacity array [cid | kid | d2-bits | meta] instead
+    # of four (measured 140 -> 47 ms per 256-center block end-to-end).
+    # The pack is a validity-keyed lax.sort (~1 ms; an earlier
+    # cumsum+scatter attempt cost more than it saved).  The full buffers
+    # are still returned but transfer lazily — the host touches them
+    # only when ``total`` overflows the packed capacity.
+    c = out_ids.shape[0]
+    cap = max((c * k) // 4, 2 * c + 1)
+    flat = out_ids.reshape(-1)
+    valid = flat < n
+    pos = jnp.arange(c * k, dtype=jnp.int32)
+    skey = jnp.where(valid, pos, c * k)
+    cid = (pos // k).astype(jnp.int32)
+    _, s_ids, s_cid, s_d2 = jax.lax.sort(
+        (skey, flat, cid, out_d2.reshape(-1)), num_keys=1)
+    total = jnp.sum(valid).astype(jnp.int32)
+    meta = jnp.concatenate(
+        [total[None], n_hits, n_alive,
+         jnp.zeros((cap - 1 - 2 * c,), jnp.int32)])
+    packed = jnp.stack([s_cid[:cap], s_ids[:cap],
+                        jax.lax.bitcast_convert_type(s_d2[:cap],
+                                                     jnp.int32), meta])
+    return packed, out_ids, out_d2
 
 
 def autotune_k_blocks(index: IVFIndex, sample_centers: np.ndarray,
@@ -348,18 +374,32 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         pending.append((s, pad, _search_block(
             index, cblk, jnp.asarray(cemb, jnp.float32),
             jnp.float32(radius), k_blocks, max_hits)))
-    for s, pad, (ids, d2, n_hits, n_alive) in pending:
-        ids = np.array(ids)
-        d2 = np.asarray(d2)
+    for s, pad, (packed, ids, d2) in pending:
+        out = np.asarray(packed)               # the ONLY common-case xfer
         real = center_block - pad
-        if pad:
-            ids[real:, :] = n
-        over_blocks += int((np.asarray(n_alive)[:real] > k_blocks).sum())
-        over_hits += int((np.asarray(n_hits)[:real] > max_hits).sum())
-        hc, hm = np.nonzero(ids < n)
+        cap = out.shape[1]
+        tot = int(out[3, 0])
+        n_hits = out[3, 1:1 + center_block]
+        n_alive = out[3, 1 + center_block:1 + 2 * center_block]
+        over_blocks += int((n_alive[:real] > k_blocks).sum())
+        over_hits += int((n_hits[:real] > max_hits).sum())
+        if tot <= cap:
+            keep = out[0, :tot] < real         # drop padding-center rows
+            hc = out[0, :tot][keep].astype(np.int64)
+            hk = out[1, :tot][keep].astype(np.int64)
+            hd = out[2, :tot][keep].view(np.float32)
+        else:
+            # packed capacity overflowed: the full buffers transfer now
+            idsh = np.array(ids)
+            d2h = np.asarray(d2)
+            if pad:
+                idsh[real:, :] = n
+            hc, hm = np.nonzero(idsh < n)
+            hk = idsh[hc, hm].astype(np.int64)
+            hd = d2h[hc, hm]
         ci.append(hc + s)
-        ki.append(ids[hc, hm].astype(np.int64))
-        dd.append(np.sqrt(np.maximum(d2[hc, hm], 0.0)))
+        ki.append(hk)
+        dd.append(np.sqrt(np.maximum(hd, 0.0)))
     import warnings
     if over_blocks:
         warnings.warn(f"{over_blocks} centers had more than k_blocks="
