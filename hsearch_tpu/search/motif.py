@@ -118,10 +118,13 @@ def _probe_verify(index: MotifIndex, centers: jax.Array,
                   max_hits: int = 256):
     """One center block: probe all tables, dedup, exact-verify, compact.
 
-    Returns (ids (C, max_hits) int32 hit ids with sentinel N for empty
-    slots, dist (C, max_hits) f32, n_hits (C,) int32 true per-center hit
-    counts before capping).  All filtering happens on device; only the
-    compacted hits are transferred.
+    Returns (packed (4, cap) int32 — rows [cid | kid | d2-bits | meta],
+    meta = [total, n_hits (C), 0...]; plus the full ids (C, max_hits)
+    sentinel-N and dist (C, max_hits) buffers, which transfer lazily and
+    are touched only on packed-capacity overflow).  All filtering
+    happens on device; the common-case harvest is ONE quarter-capacity
+    transfer (the per-transfer tunnel cost dominates the bytes —
+    search/ivf.py carries the measurements).
     """
     n = index.num_points
     start, count = segment.probe(index.tables, qcodes)
@@ -140,7 +143,23 @@ def _probe_verify(index: MotifIndex, centers: jax.Array,
     neg, sel = jax.lax.top_k(-d2m, k)                     # (C, k)
     hit_ids = jnp.where(jnp.isfinite(neg),
                         jnp.take_along_axis(ids, sel, axis=1), n)
-    return hit_ids, -neg, n_hits
+    hit_d2 = -neg
+    c = hit_ids.shape[0]
+    cap = max((c * k) // 4, c + 1)
+    flat = hit_ids.reshape(-1)
+    valid = flat < n
+    pos = jnp.arange(c * k, dtype=jnp.int32)
+    skey = jnp.where(valid, pos, c * k)
+    cid = (pos // k).astype(jnp.int32)
+    _, s_ids, s_cid, s_d2 = jax.lax.sort(
+        (skey, flat, cid, hit_d2.reshape(-1)), num_keys=1)
+    total = jnp.sum(valid).astype(jnp.int32)
+    meta = jnp.concatenate(
+        [total[None], n_hits, jnp.zeros((cap - 1 - c,), jnp.int32)])
+    packed = jnp.stack([s_cid[:cap], s_ids[:cap],
+                        jax.lax.bitcast_convert_type(s_d2[:cap],
+                                                     jnp.int32), meta])
+    return packed, hit_ids, hit_d2
 
 
 def search_protein_db(db, centers: np.ndarray, key,
@@ -211,18 +230,29 @@ def search(index: MotifIndex, centers: np.ndarray,
                                         is_kmers=is_kmers).T
         pending.append((s, pad, _probe_verify(
             index, cblk, qcodes, r2, index.cand_max, config.max_hits)))
-    for s, pad, (hit_ids, d2, n_hits) in pending:
-        hit_ids = np.array(hit_ids)   # writable copy: padding rows are masked
-        d2 = np.asarray(d2)
-        n_hits = np.asarray(n_hits)
-        if pad:
-            hit_ids[cb - pad:, :] = n
-        truncated += int((n_hits[:cb - pad if pad else cb]
-                          > config.max_hits).sum())
-        hc, hm = np.nonzero(hit_ids < n)
+    for s, pad, (packed, hit_ids, d2) in pending:
+        out = np.asarray(packed)               # the ONLY common-case xfer
+        real = cb - pad
+        cap = out.shape[1]
+        tot = int(out[3, 0])
+        n_hits = out[3, 1:1 + cb]
+        truncated += int((n_hits[:real] > config.max_hits).sum())
+        if tot <= cap:
+            keep = out[0, :tot] < real         # drop padding-center rows
+            hc = out[0, :tot][keep].astype(np.int64)
+            hk = out[1, :tot][keep].astype(np.int64)
+            hd = out[2, :tot][keep].view(np.float32)
+        else:
+            idsh = np.array(hit_ids)
+            d2h = np.asarray(d2)
+            if pad:
+                idsh[real:, :] = n
+            hc, hm = np.nonzero(idsh < n)
+            hk = idsh[hc, hm].astype(np.int64)
+            hd = d2h[hc, hm]
         ci_all.append(hc + s)
-        ki_all.append(hit_ids[hc, hm].astype(np.int64))
-        dd_all.append(np.sqrt(np.maximum(d2[hc, hm], 0.0)))
+        ki_all.append(hk)
+        dd_all.append(np.sqrt(np.maximum(hd, 0.0)))
     if truncated:
         import warnings
         warnings.warn(
