@@ -370,7 +370,7 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
         jax.shard_map, mesh=msh,
         in_specs=(P(DB, None, None), P(DB, None), P(DB, None), P(DB),
                   P(DATA, None), P(DATA, None), P()),
-        out_specs=(P(DATA, None), P(DATA, None), P(DATA), P(DATA)),
+        out_specs=(P(DATA, None), P(DATA, None), P(DATA, None)),
         check_vma=False)
     def step(db_sorted, order, cent, rad, centers_local, cemb_local, r):
         dblk = jnp.sqrt(distance.sq_distance_matrix(cemb_local, cent))
@@ -403,7 +403,29 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
         # per-shard worst cases, for host-side overflow warnings
         n_hits = jax.lax.pmax(n_hits, DB)
         n_alive = jax.lax.pmax(n_alive, DB)
-        return gids, d2g, n_hits, n_alive
+        # flat-pack the merged hits into one (4, cap) int32 buffer per
+        # data shard (same physics as search/ivf.py: the host link
+        # charges per transfer, so the harvest reads ONE buffer); row
+        # ids are globalized with the data-shard offset so the host
+        # harvest is shard-agnostic
+        c_loc, km = gids.shape
+        cap = max((c_loc * km) // 4, 2 * c_loc + 1)
+        flat = gids.reshape(-1)
+        valid = flat < n_points
+        pos = jnp.arange(c_loc * km, dtype=jnp.int32)
+        skey = jnp.where(valid, pos, c_loc * km)
+        cid = (pos // km).astype(jnp.int32) \
+            + jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc
+        _, s_ids, s_cid, s_d2 = jax.lax.sort(
+            (skey, flat, cid, d2g.reshape(-1)), num_keys=1)
+        total = jnp.sum(valid).astype(jnp.int32)
+        meta = jnp.concatenate(
+            [total[None], n_hits, n_alive,
+             jnp.zeros((cap - 1 - 2 * c_loc,), jnp.int32)])
+        packed = jnp.stack([s_cid[:cap], s_ids[:cap],
+                            jax.lax.bitcast_convert_type(s_d2[:cap],
+                                                         jnp.int32), meta])
+        return packed, gids, d2g
 
     return jax.jit(step)
 
@@ -441,16 +463,38 @@ def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
             index.block_radius, jax.device_put(blk, sh),
             jax.device_put(np.asarray(cemb, np.float32), sh),
             jnp.float32(radius))))
-    for s, pad, (gids, d2, n_hits, n_alive) in pending:
+    ndata_sh = index.mesh.shape[DATA]
+    c_loc = cb // ndata_sh
+    for s, pad, (packed, gids, d2) in pending:
         real = cb - pad
-        gids = np.asarray(gids)[:real]
-        d2 = np.asarray(d2)[:real]
-        over_hits += int((np.asarray(n_hits)[:real] > index.max_hits).sum())
-        over_blocks += int((np.asarray(n_alive)[:real] > k_blocks).sum())
-        hc, hm = np.nonzero(gids < index.n_points)
+        out = np.asarray(packed).reshape(ndata_sh, 4, -1)
+        cap = out.shape[2]
+        tots = out[:, 3, 0]
+        n_hits = out[:, 3, 1:1 + c_loc].reshape(-1)
+        n_alive = out[:, 3, 1 + c_loc:1 + 2 * c_loc].reshape(-1)
+        over_hits += int((n_hits[:real] > index.max_hits).sum())
+        over_blocks += int((n_alive[:real] > k_blocks).sum())
+        if (tots <= cap).all():
+            hcs, hks, hds = [], [], []
+            for sd in range(ndata_sh):
+                tot = int(tots[sd])
+                keep = out[sd, 0, :tot] < real   # drop padding-center rows
+                hcs.append(out[sd, 0, :tot][keep].astype(np.int64))
+                hks.append(out[sd, 1, :tot][keep].astype(np.int64))
+                hds.append(out[sd, 2, :tot][keep].view(np.float32))
+            hc = np.concatenate(hcs)
+            hk = np.concatenate(hks)
+            hd = np.concatenate(hds)
+        else:
+            # packed capacity overflowed on some shard: full buffers
+            gidsh = np.asarray(gids)[:real]
+            d2h = np.asarray(d2)[:real]
+            hc, hm = np.nonzero(gidsh < index.n_points)
+            hk = gidsh[hc, hm]
+            hd = d2h[hc, hm]
         out_c.append(hc + s)
-        out_k.append(gids[hc, hm])
-        out_d.append(np.sqrt(np.maximum(d2[hc, hm], 0.0)))
+        out_k.append(hk)
+        out_d.append(np.sqrt(np.maximum(hd, 0.0)))
     if over_blocks:
         warnings.warn(f"{over_blocks} centers had more than k_blocks="
                       f"{k_blocks} surviving blocks on some shard; raise "
