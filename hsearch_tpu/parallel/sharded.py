@@ -129,7 +129,7 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
         jax.shard_map, mesh=msh,
         in_specs=(P(None, DB), P(None, DB), P(DB, None), P(DATA, None),
                   P(), P(), P()),
-        out_specs=(P(DATA, None), P(DATA, None), P(DATA)),
+        out_specs=(P(DATA, None), P(DATA, None), P(DATA, None)),
         # outputs are replicated over ``db`` by the trailing all_gather/pmax,
         # which the static VMA checker cannot infer
         check_vma=False)
@@ -171,7 +171,25 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
         # overflow indicator: the WORST single shard vs the per-shard cap
         # (a sum across shards would false-positive when hits are spread)
         n_hits = jax.lax.pmax(n_hits, DB)
-        return gids, d2g, n_hits
+        # single-buffer pack per data shard (see _ivf_step / search/ivf.py)
+        c_loc, km = gids.shape
+        cap = max((c_loc * km) // 4, c_loc + 1)
+        flat = gids.reshape(-1)
+        valid = flat < n_points
+        pos = jnp.arange(c_loc * km, dtype=jnp.int32)
+        skey = jnp.where(valid, pos, c_loc * km)
+        cid = (pos // km).astype(jnp.int32) \
+            + jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc
+        _, s_ids, s_cid, s_d2 = jax.lax.sort(
+            (skey, flat, cid, d2g.reshape(-1)), num_keys=1)
+        total = jnp.sum(valid).astype(jnp.int32)
+        meta = jnp.concatenate(
+            [total[None], n_hits,
+             jnp.zeros((cap - 1 - c_loc,), jnp.int32)])
+        packed = jnp.stack([s_cid[:cap], s_ids[:cap],
+                            jax.lax.bitcast_convert_type(s_d2[:cap],
+                                                         jnp.int32), meta])
+        return packed, gids, d2g
 
     return jax.jit(step)
 
@@ -210,15 +228,34 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
                                      index.db_kmers, cdev, index.params.a,
                                      index.params.b,
                                      jnp.float32(radius * radius))))
-    for s, pad, (gids, d2, n_hits) in pending:
+    ndata_sh = index.mesh.shape[DATA]
+    c_loc = cb // ndata_sh
+    for s, pad, (packed, gids, d2) in pending:
         real = cb - pad
-        gids = np.asarray(gids)[:real]
-        d2 = np.asarray(d2)[:real]
-        truncated += int((np.asarray(n_hits)[:real] > index.max_hits).sum())
-        hc, hm = np.nonzero(gids < index.n_points)
+        out = np.asarray(packed).reshape(ndata_sh, 4, -1)
+        cap = out.shape[2]
+        tots = out[:, 3, 0]
+        n_hits = out[:, 3, 1:1 + c_loc].reshape(-1)
+        truncated += int((n_hits[:real] > index.max_hits).sum())
+        if (tots <= cap).all():
+            hcs, hks, hds = [], [], []
+            for sd in range(ndata_sh):
+                tot = int(tots[sd])
+                keep = out[sd, 0, :tot] < real
+                hcs.append(out[sd, 0, :tot][keep].astype(np.int64))
+                hks.append(out[sd, 1, :tot][keep].astype(np.int64))
+                hds.append(out[sd, 2, :tot][keep].view(np.float32))
+            hc, hk, hd = (np.concatenate(hcs), np.concatenate(hks),
+                          np.concatenate(hds))
+        else:
+            gidsh = np.asarray(gids)[:real]
+            d2h = np.asarray(d2)[:real]
+            hc, hm = np.nonzero(gidsh < index.n_points)
+            hk = gidsh[hc, hm]
+            hd = d2h[hc, hm]
         out_c.append(hc + s)
-        out_k.append(gids[hc, hm])
-        out_d.append(np.sqrt(np.maximum(d2[hc, hm], 0.0)))
+        out_k.append(hk)
+        out_d.append(np.sqrt(np.maximum(hd, 0.0)))
     if truncated:
         import warnings
         warnings.warn(
