@@ -122,3 +122,22 @@ def test_index_kmers_roundtrip(rng):
     db = rng.integers(0, 20, (509, 10), dtype=np.int32)
     idx = ivf.build_index(db, jax.random.PRNGKey(1), block_size=32)
     np.testing.assert_array_equal(ivf._index_kmers(idx), db)
+
+
+def test_packed_overflow_fallback(rng):
+    """Force total hits past the packed capacity (fill > 25% of slots):
+    the harvest must fall back to the full buffers losslessly."""
+    import warnings
+    n, c, l = 512, 16, 10
+    db, _ = _family_db(rng, n, c, l, family_size=8)
+    centers = db[rng.choice(n, c, replace=False)]
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=16)
+    radius = 1e3                       # everything within radius
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ci, ki, d = ivf.search(idx, centers, radius,
+                               k_blocks=idx.num_blocks, max_hits=n)
+    # every center must report every point (max_hits = n, all in radius)
+    assert len(ci) == c * n
+    gci, gki, gd = exact.search_radius(db, centers, radius, max_hits=n)
+    assert set(zip(ci, ki)) == set(zip(gci, gki))

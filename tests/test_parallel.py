@@ -252,3 +252,22 @@ def test_no_false_truncation_warning(rng):
         # only the truncation warning under test is escalated
         _w.filterwarnings("error", message=".*max_hits.*")
         sharded.search(idx, centers, radius=25.0)
+
+
+def test_sharded_packed_overflow_fallback(rng):
+    """Sharded harvests must fall back losslessly past packed capacity."""
+    import warnings
+    import jax
+    from hsearch_tpu.search import exact
+    msh = mesh_lib.make_mesh(8, data=2)
+    n, c, l = 256, 8, 10
+    db = rng.integers(0, 20, (n, l), dtype=np.int32)
+    centers = db[:c].copy()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        iidx = sharded.build_ivf_index(db, jax.random.PRNGKey(2), msh,
+                                       block_size=16, max_hits=n)
+        ci, ki, dd = sharded.search_ivf(iidx, centers, radius=1e3,
+                                        k_blocks=iidx.blocks_per_shard)
+    gci, gki, _ = exact.search_radius(db, centers, 1e3, max_hits=n)
+    assert set(zip(ci, ki)) == set(zip(gci, gki))

@@ -288,3 +288,20 @@ def test_ptable_distances_mxu_matches_gather(rng):
         for mi in range(m):
             direct[ci, mi] = pt[ci, np.arange(l), cand[ci, mi]].sum()
     np.testing.assert_allclose(b, direct, rtol=1e-5, atol=1e-3)
+
+
+def test_lsh_packed_overflow_fallback(rng):
+    """All-hit radius overflows the packed capacity; fallback is lossless."""
+    import warnings
+    n, c, l = 256, 8, 10
+    db = rng.integers(0, 20, (n, l), dtype=np.int32)
+    centers = db[:c].copy()
+    cfg = motif.MotifSearchConfig(hash_k=2, hash_l=4, w=500.0,
+                                  radius=1e3, max_hits=n)
+    idx = motif.build_index(db, jax.random.PRNGKey(0), cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ci, ki, d = motif.search(idx, centers, cfg)
+    gci, gki, _ = exact.search_radius(db, centers, 1e3, max_hits=n)
+    got, gt = set(zip(ci, ki)), set(zip(gci, gki))
+    assert got <= gt and len(got) > c * n // 2   # wide hash => most hits
