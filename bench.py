@@ -42,7 +42,13 @@ def protein_like_db(rng, n, l, family_size=64, query_n=256):
 
 
 def main():
+    import os as _os
     import jax
+
+    if _os.environ.get("HSEARCH_PLATFORM"):
+        # smoke-test hook: the site customization overrides JAX_PLATFORMS,
+        # so forcing CPU must happen in-process before backend init
+        jax.config.update("jax_platforms", _os.environ["HSEARCH_PLATFORM"])
 
     # persistent compilation cache: repeat bench runs (and repeat builds
     # in production) skip the multi-minute remote compiles
@@ -80,7 +86,9 @@ def main():
 
     # one 256-center device call per search: measured 1.5-1.6x the
     # two-call cb=128 split (each call pays a ~30 ms tunnel dispatch
-    # floor and serializes its transfer tail)
+    # floor and serializes its transfer tail).  retry_overflow (the
+    # default) re-runs only overflowed centers with doubled caps, so the
+    # reported recall holds without hand-tuning k_blocks (VERDICT r1 #3)
     kb, mh, cb = 128, 512, 256
     ivf.search(index, centers[:cb], radius, k_blocks=kb, max_hits=mh,
                center_block=cb)                       # warmup/compile
@@ -92,13 +100,24 @@ def main():
     qps = c / ((time.perf_counter() - t0) / iters)
     print(f"# ivf search done {qps:.1f} q/s", file=sys.stderr, flush=True)
 
-    # TPU brute-force oracle: ground truth for recall + on-chip reference
+    # TPU brute-force oracle: ground truth for recall + on-chip
+    # reference.  The oracle cap is 4x the engine's so a center with
+    # > mh true hits cannot silently shrink the recall denominator
+    # (ADVICE r1 #1); truth truncation, if any, is reported on stderr.
+    oracle_mh = 4 * mh
     exact.search_radius(db, centers[:cb], radius, center_block=cb,
-                        max_hits=mh)                  # warmup/compile
+                        max_hits=oracle_mh)           # warmup/compile
     t0 = time.perf_counter()
-    gci, gki, gd = exact.search_radius(db, centers, radius,
-                                       center_block=cb, max_hits=mh)
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as wlog:
+        _warnings.simplefilter("always")
+        gci, gki, gd = exact.search_radius(db, centers, radius,
+                                           center_block=cb,
+                                           max_hits=oracle_mh)
     tpu_brute_qps = c / (time.perf_counter() - t0)
+    for w in wlog:
+        print(f"# ORACLE TRUNCATED: {w.message} — recall denominator "
+              "incomplete", file=sys.stderr, flush=True)
 
     rep = evaluate.recall_from_indices(gci, gki, gd, ci, ki, radius)
 

@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core import embedding
 from ..lsh import pstable
-from ..ops import distance, segment
+from ..ops import compact, distance, segment
 from ..search import motif
 from . import mesh as mesh_lib
 
@@ -100,6 +100,7 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
         for shard in range(ndb):
             seg = sc[:, shard * n_local:(shard + 1) * n_local]
             cand_max = max(cand_max, segment.max_bucket_size(seg))
+        cand_max = min(cand_max, config.cand_limit)   # bucket-skew bound
     return ShardedMotifIndex(mesh=mesh, params=params,
                              sorted_codes=sorted_codes, perm=perm,
                              db_kmers=km, cand_max=int(cand_max),
@@ -171,24 +172,13 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
         # overflow indicator: the WORST single shard vs the per-shard cap
         # (a sum across shards would false-positive when hits are spread)
         n_hits = jax.lax.pmax(n_hits, DB)
-        # single-buffer pack per data shard (see _ivf_step / search/ivf.py)
-        c_loc, km = gids.shape
-        cap = max((c_loc * km) // 4, c_loc + 1)
-        flat = gids.reshape(-1)
-        valid = flat < n_points
-        pos = jnp.arange(c_loc * km, dtype=jnp.int32)
-        skey = jnp.where(valid, pos, c_loc * km)
-        cid = (pos // km).astype(jnp.int32) \
-            + jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc
-        _, s_ids, s_cid, s_d2 = jax.lax.sort(
-            (skey, flat, cid, d2g.reshape(-1)), num_keys=1)
-        total = jnp.sum(valid).astype(jnp.int32)
-        meta = jnp.concatenate(
-            [total[None], n_hits,
-             jnp.zeros((cap - 1 - c_loc,), jnp.int32)])
-        packed = jnp.stack([s_cid[:cap], s_ids[:cap],
-                            jax.lax.bitcast_convert_type(s_d2[:cap],
-                                                         jnp.int32), meta])
+        # single-buffer pack per data shard (ops/compact); row ids are
+        # globalized with the data-shard offset so the host harvest is
+        # shard-agnostic
+        c_loc = gids.shape[0]
+        packed = compact.pack_hits(
+            gids, d2g, n_points, meta_vecs=(n_hits,),
+            cid_offset=jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc)
         return packed, gids, d2g
 
     return jax.jit(step)
@@ -233,18 +223,17 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
     for s, pad, (packed, gids, d2) in pending:
         real = cb - pad
         out = np.asarray(packed).reshape(ndata_sh, 4, -1)
-        cap = out.shape[2]
-        tots = out[:, 3, 0]
-        n_hits = out[:, 3, 1:1 + c_loc].reshape(-1)
+        shard_hits = [compact.unpack_hits(out[sd], (c_loc,))
+                      for sd in range(ndata_sh)]
+        n_hits = np.concatenate([m[0] for _, m in shard_hits])
         truncated += int((n_hits[:real] > index.max_hits).sum())
-        if (tots <= cap).all():
+        if all(h is not None for h, _ in shard_hits):
             hcs, hks, hds = [], [], []
-            for sd in range(ndata_sh):
-                tot = int(tots[sd])
-                keep = out[sd, 0, :tot] < real
-                hcs.append(out[sd, 0, :tot][keep].astype(np.int64))
-                hks.append(out[sd, 1, :tot][keep].astype(np.int64))
-                hds.append(out[sd, 2, :tot][keep].view(np.float32))
+            for h, _ in shard_hits:
+                keep = h[0] < real
+                hcs.append(h[0][keep].astype(np.int64))
+                hks.append(h[1][keep].astype(np.int64))
+                hds.append(h[2][keep])
             hc, hk, hd = (np.concatenate(hcs), np.concatenate(hks),
                           np.concatenate(hds))
         else:
@@ -440,28 +429,12 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
         # per-shard worst cases, for host-side overflow warnings
         n_hits = jax.lax.pmax(n_hits, DB)
         n_alive = jax.lax.pmax(n_alive, DB)
-        # flat-pack the merged hits into one (4, cap) int32 buffer per
-        # data shard (same physics as search/ivf.py: the host link
-        # charges per transfer, so the harvest reads ONE buffer); row
-        # ids are globalized with the data-shard offset so the host
-        # harvest is shard-agnostic
-        c_loc, km = gids.shape
-        cap = max((c_loc * km) // 4, 2 * c_loc + 1)
-        flat = gids.reshape(-1)
-        valid = flat < n_points
-        pos = jnp.arange(c_loc * km, dtype=jnp.int32)
-        skey = jnp.where(valid, pos, c_loc * km)
-        cid = (pos // km).astype(jnp.int32) \
-            + jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc
-        _, s_ids, s_cid, s_d2 = jax.lax.sort(
-            (skey, flat, cid, d2g.reshape(-1)), num_keys=1)
-        total = jnp.sum(valid).astype(jnp.int32)
-        meta = jnp.concatenate(
-            [total[None], n_hits, n_alive,
-             jnp.zeros((cap - 1 - 2 * c_loc,), jnp.int32)])
-        packed = jnp.stack([s_cid[:cap], s_ids[:cap],
-                            jax.lax.bitcast_convert_type(s_d2[:cap],
-                                                         jnp.int32), meta])
+        # single-buffer pack per data shard (ops/compact), center ids
+        # globalized with the data-shard offset
+        c_loc = gids.shape[0]
+        packed = compact.pack_hits(
+            gids, d2g, n_points, meta_vecs=(n_hits, n_alive),
+            cid_offset=jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc)
         return packed, gids, d2g
 
     return jax.jit(step)
@@ -505,20 +478,19 @@ def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
     for s, pad, (packed, gids, d2) in pending:
         real = cb - pad
         out = np.asarray(packed).reshape(ndata_sh, 4, -1)
-        cap = out.shape[2]
-        tots = out[:, 3, 0]
-        n_hits = out[:, 3, 1:1 + c_loc].reshape(-1)
-        n_alive = out[:, 3, 1 + c_loc:1 + 2 * c_loc].reshape(-1)
+        shard_hits = [compact.unpack_hits(out[sd], (c_loc, c_loc))
+                      for sd in range(ndata_sh)]
+        n_hits = np.concatenate([m[0] for _, m in shard_hits])
+        n_alive = np.concatenate([m[1] for _, m in shard_hits])
         over_hits += int((n_hits[:real] > index.max_hits).sum())
         over_blocks += int((n_alive[:real] > k_blocks).sum())
-        if (tots <= cap).all():
+        if all(h is not None for h, _ in shard_hits):
             hcs, hks, hds = [], [], []
-            for sd in range(ndata_sh):
-                tot = int(tots[sd])
-                keep = out[sd, 0, :tot] < real   # drop padding-center rows
-                hcs.append(out[sd, 0, :tot][keep].astype(np.int64))
-                hks.append(out[sd, 1, :tot][keep].astype(np.int64))
-                hds.append(out[sd, 2, :tot][keep].view(np.float32))
+            for h, _ in shard_hits:
+                keep = h[0] < real               # drop padding-center rows
+                hcs.append(h[0][keep].astype(np.int64))
+                hks.append(h[1][keep].astype(np.int64))
+                hds.append(h[2][keep])
             hc = np.concatenate(hcs)
             hk = np.concatenate(hks)
             hd = np.concatenate(hds)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import distance
+from ..ops import compact, distance
 
 
 def _center_blocks(centers: np.ndarray, block: int):
@@ -51,7 +51,8 @@ def _radius_block_compact(centers, db, r2, is_kmers: bool, max_hits: int,
     k = min(max_hits, n)
     neg, sel = jax.lax.top_k(-d2m, k)
     ids = jnp.where(jnp.isfinite(neg), sel, n)
-    return ids, -neg, n_hits
+    packed = compact.pack_hits(ids, -neg, n, meta_vecs=(n_hits,))
+    return packed, ids, -neg
 
 
 @functools.partial(jax.jit, static_argnames=("is_kmers", "max_hits",
@@ -88,7 +89,8 @@ def _radius_scan_compact(centers, db_blocks, n_true, r2, is_kmers: bool,
             jnp.zeros(c, jnp.int32), jnp.int32(0))
     (best_d2, best_ids, n_hits, _), _ = jax.lax.scan(body, init, db_blocks)
     ids = jnp.where(jnp.isfinite(best_d2), best_ids, n_pad)
-    return ids, best_d2, n_hits
+    packed = compact.pack_hits(ids, best_d2, n_true, meta_vecs=(n_hits,))
+    return packed, ids, best_d2
 
 
 def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
@@ -131,20 +133,30 @@ def search_radius(db_kmers: np.ndarray, centers: np.ndarray, radius: float,
                 # stream db chunks: the (C, N) distance matrix never
                 # materializes (the one-shot path OOMs at N in the
                 # millions)
-                ids, d2, n_hits = _radius_scan_compact(
+                packed, ids, d2 = _radius_scan_compact(
                     jnp.asarray(blk), db_blocks, jnp.int32(n),
                     jnp.float32(r2), is_kmers, max_hits, fast)
             else:
-                ids, d2, n_hits = _radius_block_compact(
+                packed, ids, d2 = _radius_block_compact(
                     jnp.asarray(blk), db, jnp.float32(r2), is_kmers,
                     max_hits, fast)
-            ids = np.asarray(ids)
-            d2 = np.asarray(d2)
-            truncated += int((np.asarray(n_hits) > max_hits).sum())
-            hit_c, hit_k = np.nonzero(ids < n)
-            ci.append(hit_c + s)
-            ki.append(ids[hit_c, hit_k].astype(np.int64))
-            dd.append(np.sqrt(np.maximum(d2[hit_c, hit_k], 0.0)))
+            c_blk = blk.shape[0]
+            hits, (n_hits,) = compact.unpack_hits(np.asarray(packed),
+                                                  (c_blk,))
+            truncated += int((n_hits > max_hits).sum())
+            if hits is not None:
+                hc, hk, hd = hits
+                ci.append(hc.astype(np.int64) + s)
+                ki.append(hk.astype(np.int64))
+                dd.append(np.sqrt(np.maximum(hd, 0.0)))
+            else:
+                # packed capacity overflowed: full buffers transfer now
+                ids = np.asarray(ids)
+                d2 = np.asarray(d2)
+                hit_c, hit_k = np.nonzero(ids < n)
+                ci.append(hit_c + s)
+                ki.append(ids[hit_c, hit_k].astype(np.int64))
+                dd.append(np.sqrt(np.maximum(d2[hit_c, hit_k], 0.0)))
     if truncated:
         import warnings
         warnings.warn(f"{truncated} centers exceeded max_hits={max_hits}; "

@@ -36,14 +36,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import embedding
-from ..ops import distance
+from ..ops import compact, distance
 from .motif import _center_ptables
 
 
-def _use_pallas() -> bool:
-    """Opt-in fused Pallas prune kernel (HSEARCH_PALLAS=1)."""
+def _env_flags() -> tuple[bool, bool]:
+    """(use_pallas, approx_select) — read once per search() call and
+    passed as static jit arguments, so flipping the env vars between
+    calls recompiles instead of being silently ignored by the jit cache
+    (a trace-time read was round 1's bug: ADVICE.md item 2)."""
     import os
-    return os.environ.get("HSEARCH_PALLAS", "0") == "1"
+    return (os.environ.get("HSEARCH_PALLAS", "0") == "1",
+            os.environ.get("HSEARCH_APPROX_SELECT", "0") == "1")
 
 
 @jax.tree_util.register_dataclass
@@ -225,9 +229,12 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
                     block_centroid=cent, block_radius=rad, n_points=n)
 
 
-@functools.partial(jax.jit, static_argnames=("k_blocks", "max_hits"))
+@functools.partial(jax.jit, static_argnames=("k_blocks", "max_hits",
+                                              "use_pallas",
+                                              "approx_select"))
 def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
-                  r: jax.Array, k_blocks: int, max_hits: int):
+                  r: jax.Array, k_blocks: int, max_hits: int,
+                  use_pallas: bool = False, approx_select: bool = False):
     """One center block: prune blocks, gather survivors, exact verify.
 
     Returns (packed (4, cap) int32 — rows [cid | kid | d2-bits | meta]
@@ -237,7 +244,7 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     n = index.n_points
     bs = index.block_size
     l = index.kmer_len
-    if _use_pallas():
+    if use_pallas:
         # fused distance + triangle-test kernel (ops/pallas_kernels.py)
         from ..ops import pallas_kernels
         key = pallas_kernels.sq_distance_prune(
@@ -254,9 +261,7 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     # surviving block can be missed ~5%% of the time (never a false
     # positive — the hit compaction below stays exact)
     kb = min(k_blocks, key.shape[1])
-    import os as _os
-    if (_os.environ.get("HSEARCH_APPROX_SELECT", "0") == "1"
-            and kb * 8 <= key.shape[1]
+    if (approx_select and kb * 8 <= key.shape[1]
             and jax.default_backend() == "tpu"):
         neg, blk_ids = jax.lax.approx_max_k(-key, kb, recall_target=0.95)
     else:
@@ -277,30 +282,13 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     out_ids = jnp.where(jnp.isfinite(negd),
                         jnp.take_along_axis(gids, sel, axis=1), n)
     out_d2 = -negd
-    # flat-pack the sparse hit slots into ONE int32 buffer.  The tunnel
-    # charges per TRANSFER as much as per byte, so the harvest reads a
-    # single quarter-capacity array [cid | kid | d2-bits | meta] instead
-    # of four (measured 140 -> 47 ms per 256-center block end-to-end).
-    # The pack is a validity-keyed lax.sort (~1 ms; an earlier
-    # cumsum+scatter attempt cost more than it saved).  The full buffers
-    # are still returned but transfer lazily — the host touches them
-    # only when ``total`` overflows the packed capacity.
-    c = out_ids.shape[0]
-    cap = max((c * k) // 4, 2 * c + 1)
-    flat = out_ids.reshape(-1)
-    valid = flat < n
-    pos = jnp.arange(c * k, dtype=jnp.int32)
-    skey = jnp.where(valid, pos, c * k)
-    cid = (pos // k).astype(jnp.int32)
-    _, s_ids, s_cid, s_d2 = jax.lax.sort(
-        (skey, flat, cid, out_d2.reshape(-1)), num_keys=1)
-    total = jnp.sum(valid).astype(jnp.int32)
-    meta = jnp.concatenate(
-        [total[None], n_hits, n_alive,
-         jnp.zeros((cap - 1 - 2 * c,), jnp.int32)])
-    packed = jnp.stack([s_cid[:cap], s_ids[:cap],
-                        jax.lax.bitcast_convert_type(s_d2[:cap],
-                                                     jnp.int32), meta])
+    # flat-pack the sparse hit slots into ONE int32 buffer (ops/compact:
+    # the tunnel charges per TRANSFER as much as per byte — measured
+    # 140 -> 47 ms per 256-center block).  The full buffers are still
+    # returned but transfer lazily — the host touches them only when
+    # ``total`` overflows the packed capacity.
+    packed = compact.pack_hits(out_ids, out_d2, n,
+                               meta_vecs=(n_hits, n_alive))
     return packed, out_ids, out_d2
 
 
@@ -323,7 +311,7 @@ def autotune_k_blocks(index: IVFIndex, sample_centers: np.ndarray,
     for kb in sorted(candidates):
         ci, ki, _ = search(index, sample_centers, radius,
                            k_blocks=min(kb, index.num_blocks),
-                           max_hits=max_hits)
+                           max_hits=max_hits, retry_overflow=False)
         rep = evaluate.recall_from_indices(gci, gki, gd, ci, ki, radius)
         if rep.recall >= target_recall:
             return min(kb, index.num_blocks)
@@ -342,13 +330,20 @@ def _index_kmers(index: IVFIndex) -> np.ndarray:
 
 def search(index: IVFIndex, centers: np.ndarray, radius: float,
            k_blocks: int = 64, max_hits: int = 256,
-           center_block: int = 256):
+           center_block: int = 256, retry_overflow: bool = True):
     """All (center, kmer) pairs within ``radius`` — exact, block-pruned.
 
     Returns (center_idx, kmer_idx, dist) host arrays, identical contract
-    to search.exact.search_radius / search.motif.search.  Warns when a
-    center's surviving blocks exceeded ``k_blocks`` (recall < 1 for it) or
-    its hits exceeded ``max_hits``.
+    to search.exact.search_radius / search.motif.search.
+
+    Exactness is adaptive, not hand-tuned: a center whose surviving
+    blocks exceed ``k_blocks`` lost the coverage guarantee, so (with
+    ``retry_overflow``, the default) only those centers re-run with a
+    doubled cap until none overflow — recall is exactly 1.0 for every
+    center without paying the worst case's k_blocks on all of them.
+    Doubling keeps the set of compiled program shapes logarithmic.
+    ``max_hits`` overflow retries the same way (doubled hit capacity).
+    With ``retry_overflow=False`` a warning reports both overflows.
     """
     c_total = centers.shape[0]
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
@@ -357,7 +352,9 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     else:
         cemb_all = np.asarray(centers, np.float32)
     n = index.n_points
+    use_pallas, approx_select = _env_flags()
     ci, ki, dd = [], [], []
+    redo: list[np.ndarray] = []      # center ids that lost the guarantee
     over_blocks = over_hits = 0
     # two passes: dispatch every center block first (jax dispatch is
     # async), then harvest — block i's device->host transfer overlaps
@@ -373,21 +370,24 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         cblk = jnp.asarray(blk, jnp.int32 if is_kmers else jnp.float32)
         pending.append((s, pad, _search_block(
             index, cblk, jnp.asarray(cemb, jnp.float32),
-            jnp.float32(radius), k_blocks, max_hits)))
+            jnp.float32(radius), k_blocks, max_hits,
+            use_pallas, approx_select)))
     for s, pad, (packed, ids, d2) in pending:
-        out = np.asarray(packed)               # the ONLY common-case xfer
         real = center_block - pad
-        cap = out.shape[1]
-        tot = int(out[3, 0])
-        n_hits = out[3, 1:1 + center_block]
-        n_alive = out[3, 1 + center_block:1 + 2 * center_block]
+        hits, (n_hits, n_alive) = compact.unpack_hits(
+            np.asarray(packed), (center_block, center_block))
+        bad = ((n_alive[:real] > k_blocks)
+               | (n_hits[:real] > max_hits))
         over_blocks += int((n_alive[:real] > k_blocks).sum())
         over_hits += int((n_hits[:real] > max_hits).sum())
-        if tot <= cap:
-            keep = out[0, :tot] < real         # drop padding-center rows
-            hc = out[0, :tot][keep].astype(np.int64)
-            hk = out[1, :tot][keep].astype(np.int64)
-            hd = out[2, :tot][keep].view(np.float32)
+        if retry_overflow:
+            redo.append(np.nonzero(bad)[0] + s)
+        if hits is not None:
+            hc0, hk0, hd0 = hits
+            keep = hc0 < real                  # drop padding-center rows
+            hc = hc0[keep].astype(np.int64)
+            hk = hk0[keep].astype(np.int64)
+            hd = hd0[keep]
         else:
             # packed capacity overflowed: the full buffers transfer now
             idsh = np.array(ids)
@@ -400,16 +400,36 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         ci.append(hc + s)
         ki.append(hk)
         dd.append(np.sqrt(np.maximum(hd, 0.0)))
-    import warnings
-    if over_blocks:
-        warnings.warn(f"{over_blocks} centers had more than k_blocks="
-                      f"{k_blocks} surviving blocks; raise k_blocks for "
-                      "guaranteed-exact results")
-    if over_hits:
-        warnings.warn(f"{over_hits} centers exceeded max_hits={max_hits}; "
-                      "nearest hits kept")
     if not ci:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float32))
-    return (np.concatenate(ci), np.concatenate(ki),
-            np.concatenate(dd).astype(np.float32))
+    out_c = np.concatenate(ci)
+    out_k = np.concatenate(ki)
+    out_d = np.concatenate(dd).astype(np.float32)
+    redo_ids = np.concatenate(redo) if redo else np.empty(0, np.int64)
+    can_grow = k_blocks < index.num_blocks or over_hits
+    if retry_overflow and redo_ids.size and can_grow:
+        # lossless overflow retry: re-search ONLY the overflowed centers
+        # with doubled caps (k_blocks is bounded by the block count, so
+        # the recursion terminates with every survivor covered)
+        keep = ~np.isin(out_c, redo_ids)
+        rc, rk, rd = search(
+            index, np.asarray(centers)[redo_ids], radius,
+            k_blocks=min(2 * k_blocks, index.num_blocks),
+            max_hits=2 * max_hits if over_hits else max_hits,
+            center_block=center_block, retry_overflow=True)
+        out_c = np.concatenate([out_c[keep], redo_ids[rc]])
+        out_k = np.concatenate([out_k[keep], rk])
+        out_d = np.concatenate([out_d[keep], rd]).astype(np.float32)
+    elif over_blocks or over_hits:
+        import warnings
+        if over_blocks:
+            warnings.warn(
+                f"{over_blocks} centers had more than k_blocks="
+                f"{k_blocks} surviving blocks; raise k_blocks for "
+                "guaranteed-exact results")
+        if over_hits:
+            warnings.warn(
+                f"{over_hits} centers exceeded max_hits={max_hits}; "
+                "nearest hits kept")
+    return out_c, out_k, out_d

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..core import embedding
 from ..lsh import pstable
-from ..ops import distance, segment
+from ..ops import compact, distance, segment
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,7 +45,14 @@ class MotifSearchConfig:
     w: float = 50.0
     radius: float = 200.0
     center_block: int = 128
-    cand_max: int | None = None   # None -> max bucket size at build
+    cand_max: int | None = None   # None -> max bucket size, capped below
+    # Hard ceiling on cand_max when it defaults to the max bucket size.
+    # Bucket-size skew is real (the reference keeps #ifdef BUCKETSIZE
+    # histograms for exactly this, pcluster.cpp:38-66): one mega-bucket
+    # would otherwise inflate the (C, T*cand_max) candidate gather for
+    # EVERY probe of every center.  Centers that actually probe a
+    # truncated bucket are counted on device and reported by search().
+    cand_limit: int = 8192
     # Per-center hit cap for the on-device compaction (top-k by distance).
     # Only (center_block, max_hits) crosses to the host instead of the full
     # (center_block, T*cand_max) candidate arrays — the difference between
@@ -88,7 +95,8 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     tables = segment.build_tables(codes)
     cm = cand_max if cand_max is not None else config.cand_max
     if cm is None:
-        cm = segment.max_bucket_size(np.asarray(codes))
+        cm = min(segment.max_bucket_size(np.asarray(codes)),
+                 config.cand_limit)
     padded = jnp.concatenate([km, jnp.zeros((1, l), jnp.int32)], axis=0)
     return MotifIndex(params=params, tables=tables, db_kmers=padded,
                       cand_max=int(cm))
@@ -128,6 +136,10 @@ def _probe_verify(index: MotifIndex, centers: jax.Array,
     """
     n = index.num_points
     start, count = segment.probe(index.tables, qcodes)
+    # per-center truncated-candidate count: observable bucket skew (the
+    # reference's #ifdef BUCKETSIZE histograms, as a per-query counter)
+    over = jnp.maximum(count - cand_max, 0)
+    n_dropped = over.reshape(over.shape[0], -1).sum(axis=1).astype(jnp.int32)
     count = jnp.minimum(count, cand_max)
     ids = segment.gather_candidates(index.tables, start, count, cand_max)
     ids = segment.dedup_sorted(ids, sentinel=n)
@@ -144,21 +156,9 @@ def _probe_verify(index: MotifIndex, centers: jax.Array,
     hit_ids = jnp.where(jnp.isfinite(neg),
                         jnp.take_along_axis(ids, sel, axis=1), n)
     hit_d2 = -neg
-    c = hit_ids.shape[0]
-    cap = max((c * k) // 4, c + 1)
-    flat = hit_ids.reshape(-1)
-    valid = flat < n
-    pos = jnp.arange(c * k, dtype=jnp.int32)
-    skey = jnp.where(valid, pos, c * k)
-    cid = (pos // k).astype(jnp.int32)
-    _, s_ids, s_cid, s_d2 = jax.lax.sort(
-        (skey, flat, cid, hit_d2.reshape(-1)), num_keys=1)
-    total = jnp.sum(valid).astype(jnp.int32)
-    meta = jnp.concatenate(
-        [total[None], n_hits, jnp.zeros((cap - 1 - c,), jnp.int32)])
-    packed = jnp.stack([s_cid[:cap], s_ids[:cap],
-                        jax.lax.bitcast_convert_type(s_d2[:cap],
-                                                     jnp.int32), meta])
+    # single-buffer packed transfer (ops/compact — the one implementation)
+    packed = compact.pack_hits(hit_ids, hit_d2, n,
+                               meta_vecs=(n_hits, n_dropped))
     return packed, hit_ids, hit_d2
 
 
@@ -211,7 +211,7 @@ def search(index: MotifIndex, centers: np.ndarray,
     cb = config.center_block
     n = index.num_points
     ci_all, ki_all, dd_all = [], [], []
-    truncated = 0
+    truncated = skewed = 0
     # two-pass dispatch/harvest (as search.ivf.search): queue every
     # center block before pulling any result so transfers overlap compute
     pending = []
@@ -231,17 +231,17 @@ def search(index: MotifIndex, centers: np.ndarray,
         pending.append((s, pad, _probe_verify(
             index, cblk, qcodes, r2, index.cand_max, config.max_hits)))
     for s, pad, (packed, hit_ids, d2) in pending:
-        out = np.asarray(packed)               # the ONLY common-case xfer
         real = cb - pad
-        cap = out.shape[1]
-        tot = int(out[3, 0])
-        n_hits = out[3, 1:1 + cb]
+        hits, (n_hits, n_dropped) = compact.unpack_hits(
+            np.asarray(packed), (cb, cb))
         truncated += int((n_hits[:real] > config.max_hits).sum())
-        if tot <= cap:
-            keep = out[0, :tot] < real         # drop padding-center rows
-            hc = out[0, :tot][keep].astype(np.int64)
-            hk = out[1, :tot][keep].astype(np.int64)
-            hd = out[2, :tot][keep].view(np.float32)
+        skewed += int((n_dropped[:real] > 0).sum())
+        if hits is not None:
+            hc0, hk0, hd0 = hits
+            keep = hc0 < real                  # drop padding-center rows
+            hc = hc0[keep].astype(np.int64)
+            hk = hk0[keep].astype(np.int64)
+            hd = hd0[keep]
         else:
             idsh = np.array(hit_ids)
             d2h = np.asarray(d2)
@@ -253,11 +253,18 @@ def search(index: MotifIndex, centers: np.ndarray,
         ci_all.append(hc + s)
         ki_all.append(hk)
         dd_all.append(np.sqrt(np.maximum(hd, 0.0)))
-    if truncated:
+    if truncated or skewed:
         import warnings
-        warnings.warn(
-            f"{truncated} centers exceeded max_hits={config.max_hits}; "
-            "nearest hits kept, raise config.max_hits for the full set")
+        if truncated:
+            warnings.warn(
+                f"{truncated} centers exceeded max_hits={config.max_hits}; "
+                "nearest hits kept, raise config.max_hits for the full set")
+        if skewed:
+            warnings.warn(
+                f"{skewed} centers probed buckets larger than cand_max="
+                f"{index.cand_max} (bucket skew); their candidate lists "
+                "were truncated — raise cand_max/cand_limit or dedup the "
+                "database for the full set")
     if not ci_all:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float32))

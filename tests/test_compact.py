@@ -1,0 +1,97 @@
+"""ops/compact pack/unpack + the IVF lossless overflow retry."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsearch_tpu.ops import compact
+from hsearch_tpu.search import exact, ivf
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    c, k, n = 7, 32, 100
+    ids = rng.integers(0, n + 1, (c, k)).astype(np.int32)
+    # sentinel-out a random suffix per row (pack requires no order)
+    d2 = rng.random((c, k)).astype(np.float32)
+    n_hits = rng.integers(0, k, c).astype(np.int32)
+    packed = compact.pack_hits(jnp.asarray(ids), jnp.asarray(d2), n,
+                               meta_vecs=(jnp.asarray(n_hits),),
+                               cap_frac=1)     # cap = c*k: never overflows
+    hits, (mh,) = compact.unpack_hits(np.asarray(packed), (c,))
+    assert hits is not None
+    hc, hk, hd = hits
+    exp_c, exp_k = np.nonzero(ids < n)
+    np.testing.assert_array_equal(np.sort(hc), np.sort(exp_c))
+    # per-center sets agree
+    for cc in range(c):
+        got = set(zip(hk[hc == cc].tolist(),
+                      hd[hc == cc].round(6).tolist()))
+        want = set(zip(ids[cc][ids[cc] < n].tolist(),
+                       d2[cc][ids[cc] < n].round(6).tolist()))
+        assert got == want
+    np.testing.assert_array_equal(mh, n_hits)
+
+
+def test_pack_overflow_returns_none():
+    c, k, n = 4, 16, 50
+    ids = np.zeros((c, k), np.int32)           # every slot valid
+    d2 = np.ones((c, k), np.float32)
+    packed = compact.pack_hits(jnp.asarray(ids), jnp.asarray(d2), n,
+                               cap_frac=4)
+    hits, metas = compact.unpack_hits(np.asarray(packed), ())
+    assert hits is None and metas == []
+
+
+def test_pack_cid_offset():
+    ids = np.array([[3, 60]], np.int32)        # one valid, one sentinel
+    d2 = np.array([[1.5, 0.0]], np.float32)
+    packed = compact.pack_hits(jnp.asarray(ids), jnp.asarray(d2), 50,
+                               cid_offset=jnp.int32(10), cap_frac=1)
+    hits, _ = compact.unpack_hits(np.asarray(packed), ())
+    hc, hk, hd = hits
+    assert hc.tolist() == [10] and hk.tolist() == [3]
+    assert hd.tolist() == [1.5]
+
+
+def _workload(n=4096, c=24, l=10, seed=3):
+    rng = np.random.default_rng(seed)
+    fam = rng.integers(0, 20, (c, l), dtype=np.int32)
+    which = rng.integers(0, c, n)
+    db = fam[which].copy()
+    flip = rng.integers(0, l, n)
+    db[np.arange(n), flip] = rng.integers(0, 20, n)
+    return db, fam
+
+
+def test_ivf_retry_overflow_restores_exactness():
+    db, centers = _workload()
+    radius = 26.0
+    index = ivf.build_index(db, jax.random.PRNGKey(0), block_size=16)
+    gci, gki, gd = exact.search_radius(db, centers, radius)
+    # k_blocks=1 guarantees overflow; the retry must recover every hit
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")         # no overflow warning either
+        ci, ki, dd = ivf.search(index, centers, radius, k_blocks=1,
+                                max_hits=8, retry_overflow=True)
+    got = set(zip(ci.tolist(), ki.tolist()))
+    want = set(zip(gci.tolist(), gki.tolist()))
+    assert got == want
+    # distances match the oracle
+    od = {(c_, k_): d_ for c_, k_, d_ in zip(gci, gki, gd)}
+    for c_, k_, d_ in zip(ci, ki, dd):
+        assert abs(od[(c_, k_)] - d_) < 1e-4
+
+
+def test_ivf_no_retry_warns_and_misses():
+    db, centers = _workload()
+    radius = 26.0
+    index = ivf.build_index(db, jax.random.PRNGKey(0), block_size=16)
+    with pytest.warns(UserWarning, match="surviving blocks"):
+        ci, ki, _ = ivf.search(index, centers, radius, k_blocks=1,
+                               max_hits=8, retry_overflow=False)
+    gci, gki, _ = exact.search_radius(db, centers, radius)
+    assert len(ci) < len(gci)                  # the cap actually binds
