@@ -145,6 +145,19 @@ class BlastStat:
         divisor = (1.0 - self.gap_decay_rate)  # nsegs == 1
         return e / divisor
 
+    def raw_to_expect_vec(self, raw):
+        """Vectorized raw_to_expect over an int/float array (used by the
+        batched hit assembly — one exp over all candidates of a query)."""
+        import numpy as np
+        e = self.K * self.e_db_len * self.e_query_len * \
+            np.exp(-self.L * np.asarray(raw, np.float64))
+        return e / (1.0 - self.gap_decay_rate)
+
+    def raw_to_bits_vec(self, raw):
+        import numpy as np
+        return (self.L * np.asarray(raw, np.float64) - self.logK) \
+            / math.log(2)
+
     def raw_to_expect_log10(self, raw: float) -> float:
         """blast_stat.cpp:99-112 (returns -10000 when e underflows)."""
         e = self.raw_to_expect(raw)

@@ -49,12 +49,22 @@ _GROUP21 = np.concatenate([reduced.MURPHY10.astype(np.int32), [10]])
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SeedIndex:
-    """Sorted seed codes over every valid position of a protein DB."""
+    """Sorted seed codes over every valid position of a protein DB.
+
+    With ``group_starts`` set (group-partitioned index), positions are
+    sorted by (protein group, code) and each group's codes occupy the
+    contiguous slice [group_starts[g], group_starts[g+1]) — probes are
+    then bounded to the querying protein's own group, which makes ONE
+    index serve many independent pre-cluster groups at once (the
+    batched replacement for the reference's per-bucket
+    BuildProteinsIndex, pcluster.cpp:157-167).
+    """
 
     sorted_codes: jax.Array    # (P,) uint32
     positions: jax.Array       # (P,) int32 flat offsets, sorted like codes
     seq: jax.Array             # (S,) int32 AA indices of the concatenated DB
     starts: jax.Array          # (N+1,) int32 per-protein offsets
+    group_starts: jax.Array | None = None   # (G+1,) int32 or None
 
     @property
     def num_positions(self) -> int:
@@ -97,18 +107,36 @@ def _codes_for(seq: jax.Array, starts: jax.Array):
     return code, valid
 
 
-def build_index(seq: np.ndarray, starts: np.ndarray) -> SeedIndex:
-    """Index every valid seed position of the concatenated DB."""
+def build_index(seq: np.ndarray, starts: np.ndarray,
+                protein_groups: np.ndarray | None = None) -> SeedIndex:
+    """Index every valid seed position of the concatenated DB.
+
+    protein_groups: optional (N,) int group id per protein; when given,
+    positions sort by (group, code) and the index records each group's
+    code slice so probes stay group-local (see SeedIndex docstring).
+    Group ids must be dense 0..G-1.
+    """
     seqd = jnp.asarray(seq, jnp.int32)
     startsd = jnp.asarray(starts, jnp.int32)
     codes, valid = _codes_for(seqd, startsd)
     codes = np.asarray(codes)
     pos = np.nonzero(np.asarray(valid))[0].astype(np.int32)
     c = codes[pos]
-    order = np.argsort(c, kind="stable")
+    group_starts = None
+    if protein_groups is None:
+        order = np.argsort(c, kind="stable")
+    else:
+        pg = np.asarray(protein_groups)
+        n_groups = int(pg.max()) + 1 if pg.size else 0
+        pid = np.searchsorted(np.asarray(starts), pos, side="right") - 1
+        g = pg[pid]
+        order = np.lexsort((c, g))
+        counts = np.bincount(g, minlength=n_groups)
+        group_starts = jnp.asarray(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
     return SeedIndex(sorted_codes=jnp.asarray(c[order]),
                      positions=jnp.asarray(pos[order].astype(np.int32)),
-                     seq=seqd, starts=startsd)
+                     seq=seqd, starts=startsd, group_starts=group_starts)
 
 
 @jax.jit
@@ -138,9 +166,30 @@ def query_probe_codes(qseq: jax.Array, qstarts: jax.Array):
     return jnp.stack(probes, axis=1), valid
 
 
+def _bounded_searchsorted(sc: jax.Array, qc: jax.Array, lo0: jax.Array,
+                          hi0: jax.Array, left: bool) -> jax.Array:
+    """searchsorted of ``qc`` within per-row slices [lo0, hi0) of ``sc``.
+
+    A branchless fixed-iteration binary search: ``sc`` is sorted within
+    every slice (here: per protein group), not globally, so the stock
+    jnp.searchsorted cannot be used.  lo0/hi0 broadcast against qc.
+    """
+    lo = jnp.broadcast_to(lo0, qc.shape).astype(jnp.int32)
+    hi = jnp.broadcast_to(hi0, qc.shape).astype(jnp.int32)
+    n = sc.shape[0]
+    for _ in range(max(1, int(np.ceil(np.log2(n + 1))))):
+        cont = lo < hi
+        mid = (lo + hi) >> 1
+        v = jnp.take(sc, jnp.clip(mid, 0, n - 1))
+        pred = (v < qc) if left else (v <= qc)
+        lo = jnp.where(cont & pred, mid + 1, lo)
+        hi = jnp.where(cont & ~pred, mid, hi)
+    return lo
+
+
 @functools.partial(jax.jit, static_argnames=("cand_max",))
 def probe(index: SeedIndex, qcodes: jax.Array, qgrp10: jax.Array,
-          cand_max: int):
+          cand_max: int, bounds: tuple | None = None):
     """(Q, P) probe codes -> (candidates (Q, P*cand_max) int32, n_over).
 
     qgrp10: (Q,) the query's murphy10 group at seed position + 9 (the 4th
@@ -148,10 +197,21 @@ def probe(index: SeedIndex, qcodes: jax.Array, qgrp10: jax.Array,
     on it (the reference's 4-deep narrowing); shorter candidates pass.
     Invalid slots hold -1.  ``n_over`` counts buckets whose true size
     exceeded cand_max (truncated — the caller should warn).
+
+    bounds: optional ((Q,) lo, (Q,) hi) index-slice per query row for a
+    group-partitioned index (each query probes only its own group's
+    contiguous code slice).
     """
     sc = index.sorted_codes
-    lo = jnp.searchsorted(sc, qcodes, side="left")
-    hi = jnp.searchsorted(sc, qcodes, side="right")
+    if bounds is None:
+        lo = jnp.searchsorted(sc, qcodes, side="left")
+        hi = jnp.searchsorted(sc, qcodes, side="right")
+    else:
+        blo, bhi = bounds
+        lo = _bounded_searchsorted(sc, qcodes, blo[:, None], bhi[:, None],
+                                   left=True)
+        hi = _bounded_searchsorted(sc, qcodes, blo[:, None], bhi[:, None],
+                                   left=False)
     n_over = jnp.sum(hi - lo > cand_max)
     count = jnp.minimum(hi - lo, cand_max)
     offs = jnp.arange(cand_max, dtype=jnp.int32)

@@ -203,22 +203,12 @@ def cmd_pcluster(args):
     params = apipe.SearchParams(evalue_threshold=args.evalue,
                                 max_aln_per_query=args.max_aln,
                                 max_m8_per_query=args.max_hit)
+    # gapped refinement happens inside cluster_proteins with the same
+    # group-partitioned searcher, so refined and unrefined hits share
+    # one per-group e-value context (ADVICE r1 #3)
     res = pcluster.cluster_proteins(db, jax.random.PRNGKey(args.seed),
                                     params, cluster_evalue=args.cluster_evalue,
-                                    tables=args.tables)
-    if args.gapped:
-        # re-align strong hits with the banded gapped aligner
-        # (pipeline.refine_gapped; the reference declares but never runs
-        # its gapped stage)
-        by_query = {}
-        for h in res.hits:
-            by_query.setdefault(h.query, []).append(h)
-        refined = []
-        searcher = apipe.ProteinSearcher(db, params)
-        for q, hits in by_query.items():
-            qseq = np.asarray(db.protein(q))
-            refined.extend(apipe.refine_gapped(searcher, qseq, hits))
-        res.hits[:] = refined
+                                    tables=args.tables, gapped=args.gapped)
     apipe.write_m8(args.output + ".m8", res.hits, db.names, db.names)
     apipe.write_aln(args.output + ".aln",
                     res.hits[:args.max_aln], db.names, db.names)

@@ -145,6 +145,24 @@ def dedup_sorted(ids: jax.Array, sentinel: int) -> jax.Array:
     return jnp.where(dup, sentinel, s)
 
 
+@jax.jit
+def max_bucket_size_device(sorted_codes: jax.Array) -> jax.Array:
+    """Largest bucket (max equal-run length) of (T, N) SORTED codes.
+
+    Device-side twin of ``max_bucket_size`` for sharded builds, where the
+    per-shard tables are not host-addressable (multi-host runs own only
+    their local shards).
+    """
+    t, n = sorted_codes.shape
+    pos = jnp.arange(n, dtype=jnp.int32)
+    newb = jnp.concatenate(
+        [jnp.ones((t, 1), bool), sorted_codes[:, 1:] != sorted_codes[:, :-1]],
+        axis=1)
+    start = jnp.where(newb, pos[None, :], 0)
+    start = jax.lax.cummax(start, axis=1)
+    return jnp.max(pos[None, :] - start + 1).astype(jnp.int32)
+
+
 def max_bucket_size(codes: np.ndarray) -> int:
     """Largest bucket across all tables (host-side, for static cand_max)."""
     best = 1

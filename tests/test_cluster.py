@@ -94,3 +94,65 @@ def test_union_find():
     groups = uf.groups()
     sizes = sorted(len(g) for g in groups)
     assert sizes == [1, 2, 3]
+
+
+def test_centroid_device_matches_numpy_oracle(rng):
+    """The scanned device program == a straightforward numpy round loop
+    (same hash draws injected), partition-equal."""
+    import jax.numpy as jnp
+    from hsearch_tpu.ops import segment as seg_ops
+
+    n, l, rounds, k, w, radius = 64, 6, 5, 8, 50.0, 30.0
+    km = rng.integers(0, 20, (n, l), dtype=np.int32)
+    km[40:] = km[:24]                       # duplicates to force merges
+    d = l * embedding.AA_DIM
+    key = jax.random.PRNGKey(5)
+    ka, kb = jax.random.split(key)
+    a_all = np.asarray(jax.random.normal(ka, (rounds, d, k), jnp.float32))
+    b_all = np.asarray(jax.random.uniform(kb, (rounds, k), jnp.float32,
+                                          0.0, w))
+
+    got = np.asarray(centroid._cluster_rounds(
+        jnp.asarray(km), jnp.asarray(a_all), jnp.asarray(b_all),
+        jnp.float32(w), jnp.float32(radius / 2), rounds, chunk=16))
+
+    # numpy oracle with identical semantics
+    pts = embedding.embed_kmers(km).astype(np.float32)
+    label = np.arange(n)
+    sums = pts.copy()
+    counts = np.ones(n, np.float32)
+    radii = np.zeros(n, np.float32)
+    for r in range(rounds):
+        alive = counts > 0
+        cents = sums / np.maximum(counts, 1.0)[:, None]
+        proj = cents @ a_all[r] + b_all[r]
+        idx = np.floor(proj / w).astype(np.int32)
+        code = np.asarray(seg_ops.pack_codes(jnp.asarray(idx)))
+        code = np.where(alive, code, np.iinfo(np.int32).max)
+        newid = np.arange(n)
+        for c in np.unique(code[alive]):
+            mem = np.nonzero(alive & (code == c))[0]
+            bc = (cents[mem] * counts[mem, None]).sum(0) / counts[mem].sum()
+            dist = np.sqrt(((cents[mem] - bc) ** 2).sum(-1))
+            merged = mem[dist + radii[mem] <= radius / 2]
+            if len(merged):
+                newid[merged] = merged.min()
+        label = newid[label]
+        # recompute sums/counts directly from point labels (equivalent)
+        sums = np.zeros((n, d), np.float32)
+        cnt2 = np.zeros(n, np.float32)
+        np.add.at(sums, label, pts)
+        np.add.at(cnt2, label, 1.0)
+        counts = cnt2
+        cents2 = sums / np.maximum(counts, 1.0)[:, None]
+        dd = np.sqrt(((pts - cents2[label]) ** 2).sum(-1))
+        radii = np.zeros(n, np.float32)
+        np.maximum.at(radii, label, dd.astype(np.float32))
+    # compare partitions (labels up to renaming)
+    def canon(lab):
+        first = {}
+        out = np.empty_like(lab)
+        for i, v in enumerate(lab):
+            out[i] = first.setdefault(int(v), len(first))
+        return out
+    np.testing.assert_array_equal(canon(got), canon(label))

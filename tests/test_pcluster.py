@@ -67,3 +67,71 @@ def test_histogram_matches_reference_formula(rng):
     g = alphabet.HIST8[seq[:3]]
     fid = int(g[0]) + int(g[1]) * 8 + int(g[2]) * 64
     assert h[fid] >= 1
+
+
+def test_grouped_searcher_matches_per_group(rng):
+    """One group-partitioned ProteinSearcher == separate per-group
+    searchers: identical hit sets AND e-values (group-local statistics)."""
+    from hsearch_tpu.align import pipeline as apipe
+
+    db, truth = _family_proteins(rng, n_fam=3, per_fam=3, n_noise=0,
+                                 flips=2)
+    groups = [np.nonzero(truth == f)[0] for f in range(3)]
+    subset = np.concatenate(groups)
+    group_of = np.repeat(np.arange(3), [len(g) for g in groups])
+    batched = apipe.ProteinSearcher(db, subset=subset, groups=group_of)
+    got = batched.search_all()
+
+    want = []
+    for g in groups:
+        s = apipe.ProteinSearcher(db, subset=g)
+        want.extend(s.search_all())
+
+    def key(h):
+        return (h.query, h.subject, h.q_beg, h.q_end, h.d_beg, h.d_end)
+
+    gm = {key(h): h for h in got}
+    wm = {key(h): h for h in want}
+    assert set(gm) == set(wm)
+    for k in gm:
+        assert gm[k].score == wm[k].score
+        np.testing.assert_allclose(gm[k].evalue, wm[k].evalue, rtol=1e-9)
+        np.testing.assert_allclose(gm[k].bits, wm[k].bits, rtol=1e-9)
+
+
+def test_grouped_searcher_no_cross_group_hits(rng):
+    """Probes are bounded to the querying protein's own group."""
+    from hsearch_tpu.align import pipeline as apipe
+
+    # two groups that are exact COPIES: an unbounded index would pair
+    # proteins across the groups
+    base = rng.integers(0, 20, 150).astype(np.int32)
+    seqs = [base.copy(), base.copy(), base.copy(), base.copy()]
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    from hsearch_tpu.core import io as hio2
+    db = hio2.ProteinDB(names=[f"p{i}" for i in range(4)],
+                        seq=np.concatenate(seqs), starts=starts)
+    s = apipe.ProteinSearcher(db, subset=np.arange(4),
+                              groups=np.array([0, 0, 1, 1]))
+    hits = s.search_all()
+    assert hits
+    for h in hits:
+        assert (h.query < 2) == (h.subject < 2), (h.query, h.subject)
+
+
+def test_grouped_search_unbatched_agrees(rng):
+    from hsearch_tpu.align import pipeline as apipe
+
+    db, truth = _family_proteins(rng, n_fam=2, per_fam=3, n_noise=0,
+                                 flips=2)
+    subset = np.arange(6)
+    group_of = truth[:6]
+    s = apipe.ProteinSearcher(db, subset=subset, groups=group_of)
+    a = s.search_all(batched=True)
+    b = s.search_all(batched=False)
+
+    def key(h):
+        return (h.query, h.subject, h.q_beg, h.q_end, h.d_beg, h.d_end,
+                h.score, round(float(h.evalue), 12))
+
+    assert sorted(map(key, a)) == sorted(map(key, b))
