@@ -69,42 +69,58 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
                 config: motif.MotifSearchConfig = motif.MotifSearchConfig(),
                 cand_max: int | None = None) -> ShardedMotifIndex:
     """Shard the database over ``db`` and build per-shard sorted tables."""
-    n, l = db_kmers.shape
+    n = db_kmers.shape[0]
     ndb = mesh.shape[DB]
-    params = pstable.init(key, l * embedding.AA_DIM, config.hash_k,
-                          config.hash_l, config.w)
     padded, _ = mesh_lib.pad_to_multiple(
         np.asarray(db_kmers, np.int32), ndb, axis=0, fill=0)
     km = jax.device_put(padded, NamedSharding(mesh, P(DB, None)))
+    return build_index_from_global(km, n, key, mesh, config, cand_max)
+
+
+def build_index_from_global(km: jax.Array, n_points: int, key: jax.Array,
+                            mesh: jax.sharding.Mesh,
+                            config: motif.MotifSearchConfig
+                            = motif.MotifSearchConfig(),
+                            cand_max: int | None = None,
+                            reduce_max=None) -> ShardedMotifIndex:
+    """Per-shard table build over an ALREADY-PLACED (N_pad, L) P(db)
+    array — the entry point shared by the single-process path and the
+    multi-host runtime (parallel/multihost.py), where ``km`` comes from
+    per-process local rows and no host ever sees the whole database.
+
+    reduce_max: optional callable(int) -> int folding a host-local
+    maximum across processes (multi-host passes a process_allgather
+    max; None = identity).
+    """
+    l = km.shape[1]
+    params = pstable.init(key, l * embedding.AA_DIM, config.hash_k,
+                          config.hash_l, config.w)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(DB, None), P(), P()),
-        out_specs=(P(None, DB), P(None, DB)))
+        out_specs=(P(None, DB), P(None, DB), P(DB)))
     def _build(local_km, a, b):
         p = dataclasses.replace(params, a=a, b=b)
         codes = pstable.hash_codes(local_km, p, is_kmers=True)   # (T, nloc)
         tabs = segment.build_tables(codes)
-        return tabs.sorted_codes, tabs.perm
+        # per-shard max bucket size, computed where the table lives (the
+        # host may not address other processes' shards)
+        maxb = segment.max_bucket_size_device(tabs.sorted_codes)
+        return tabs.sorted_codes, tabs.perm, maxb[None]
 
-    sorted_codes, perm = jax.jit(_build)(km, params.a, params.b)
+    sorted_codes, perm, maxb = jax.jit(_build)(km, params.a, params.b)
     if cand_max is None:
         cand_max = config.cand_max
     if cand_max is None:
-        # max bucket size of any single per-shard table (columns are
-        # grouped by shard: the same code on different shards lives in
-        # different tables and must not be summed)
-        n_local = km.shape[0] // ndb
-        sc = np.asarray(sorted_codes)
-        cand_max = 1
-        for shard in range(ndb):
-            seg = sc[:, shard * n_local:(shard + 1) * n_local]
-            cand_max = max(cand_max, segment.max_bucket_size(seg))
-        cand_max = min(cand_max, config.cand_limit)   # bucket-skew bound
+        local_max = max((int(s.data.max()) for s in maxb.addressable_shards),
+                        default=1)
+        cand_max = reduce_max(local_max) if reduce_max else local_max
+        cand_max = min(max(1, cand_max), config.cand_limit)  # skew bound
     return ShardedMotifIndex(mesh=mesh, params=params,
                              sorted_codes=sorted_codes, perm=perm,
                              db_kmers=km, cand_max=int(cand_max),
-                             n_points=n, max_hits=config.max_hits,
+                             n_points=n_points, max_hits=config.max_hits,
                              probes=max(1, config.probes))
 
 
@@ -184,12 +200,21 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
     return jax.jit(step)
 
 
+def _default_placer(mesh: jax.sharding.Mesh):
+    sh = NamedSharding(mesh, P(DATA, None))
+    return lambda blk: jax.device_put(blk, sh)
+
+
 def search(index: ShardedMotifIndex, centers: np.ndarray,
-           radius: float = 200.0):
+           radius: float = 200.0, placer=None):
     """All (center, kmer) pairs within ``radius``, merged across shards.
 
     Returns (center_idx, kmer_idx, dist) host arrays — same contract as
     search.motif.search, but SPMD over the index's mesh.
+
+    placer: optional callable((cb, ...) np.ndarray) -> P(data) global
+    array; multi-host runs pass a make_array_from_process_local_data
+    placer (every process calls with the same centers).
     """
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
     ndata = index.mesh.shape[DATA]
@@ -203,6 +228,7 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
         step = _search_step(index, is_kmers)
         index._steps[("lsh", is_kmers, cb)] = step
     arr = np.asarray(centers, np.int32 if is_kmers else np.float32)
+    put = placer if placer is not None else _default_placer(index.mesh)
     out_c, out_k, out_d = [], [], []
     truncated = 0
     # dispatch every center block before harvesting any (async dispatch
@@ -213,7 +239,7 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
         pad = cb - blk.shape[0]
         if pad:
             blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
-        cdev = jax.device_put(blk, NamedSharding(index.mesh, P(DATA, None)))
+        cdev = put(blk)
         pending.append((s, pad, step(index.sorted_codes, index.perm,
                                      index.db_kmers, cdev, index.params.a,
                                      index.params.b,
@@ -295,6 +321,19 @@ class ShardedIVFIndex:
 def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
                     mesh: jax.sharding.Mesh, block_size: int = 32,
                     max_hits: int = 256) -> ShardedIVFIndex:
+    n = db_kmers.shape[0]
+    ndb = mesh.shape[DB]
+    padded, _ = mesh_lib.pad_to_multiple(
+        np.asarray(db_kmers, np.int32), ndb, axis=0, fill=0)
+    km = jax.device_put(padded, NamedSharding(mesh, P(DB, None)))
+    return build_ivf_index_from_global(km, n, key, mesh, block_size,
+                                       max_hits)
+
+
+def build_ivf_index_from_global(km: jax.Array, n_points: int,
+                                key: jax.Array, mesh: jax.sharding.Mesh,
+                                block_size: int = 32, max_hits: int = 256,
+                                reduce_max=None) -> ShardedIVFIndex:
     """Build per-shard IVF sub-indexes with shard-local device programs.
 
     Three shard_mapped programs, no cross-shard communication and no O(N)
@@ -311,16 +350,19 @@ def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
       3. every shard slices its first ``b_max`` blocks (the max real
          count, a static shape), gathers the block-sorted rows and
          bounds each block.
+
+    ``km`` is an already-placed (N_pad, L) P(db) global array (possibly
+    assembled from per-process rows — parallel/multihost.py);
+    ``reduce_max`` folds the host-local max real-block count across
+    processes (None = identity, single-process).
     """
     from ..search import ivf as ivf_lib
 
-    n, l = db_kmers.shape
+    n = n_points
+    l = km.shape[1]
     ndb = mesh.shape[DB]
-    padded, _ = mesh_lib.pad_to_multiple(
-        np.asarray(db_kmers, np.int32), ndb, axis=0, fill=0)
-    n_local = padded.shape[0] // ndb
+    n_local = km.shape[0] // ndb
     n_cells = max(1, n_local // block_size)
-    km = jax.device_put(padded, NamedSharding(mesh, P(DB, None)))
     keys = jax.random.split(key, ndb)
     b_cap = (n_local + n_cells * (block_size - 1)
              + block_size - 1) // block_size
@@ -351,7 +393,12 @@ def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
                 jnp.sum(~dummy, keepdims=True).astype(jnp.int32))
 
     ob_full, n_real = jax.jit(_cut)(km, jnp.asarray(keys))
-    b_max = max(1, int(np.max(np.asarray(n_real))))   # (S,) ints only
+    # only the per-shard real-block counts cross to host — and only the
+    # ADDRESSABLE ones (multi-host processes own just their shards)
+    local_bmax = max((int(s.data.max())
+                      for s in n_real.addressable_shards), default=1)
+    b_max = reduce_max(local_bmax) if reduce_max else local_bmax
+    b_max = max(1, b_max)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -379,7 +426,7 @@ def build_ivf_index(db_kmers: np.ndarray, key: jax.Array,
     return ShardedIVFIndex(
         mesh=mesh, db_sorted=db_sorted, order=ob,
         block_centroid=cent, block_radius=rad,
-        n_points=n, n_local=n_local, max_hits=max_hits)
+        n_points=n_points, n_local=n_local, max_hits=max_hits)
 
 
 def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
@@ -441,7 +488,7 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
 
 
 def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
-               k_blocks: int = 64):
+               k_blocks: int = 64, placer=None):
     """Sharded block-pruned exact search; same contract as search()."""
     from ..core import embedding as emb_lib
 
@@ -456,7 +503,7 @@ def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
         step = _ivf_step(index, k_blocks)
         index._steps[(k_blocks, cb)] = step
     arr = np.asarray(centers, np.int32 if is_kmers else np.float32)
-    sh = NamedSharding(index.mesh, P(DATA, None))
+    put = placer if placer is not None else _default_placer(index.mesh)
     out_c, out_k, out_d = [], [], []
     over_hits = over_blocks = 0
     # two-pass dispatch/harvest, as in search.ivf.search
@@ -470,8 +517,8 @@ def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
             else np.asarray(blk, np.float32)
         pending.append((s, pad, step(
             index.db_sorted, index.order, index.block_centroid,
-            index.block_radius, jax.device_put(blk, sh),
-            jax.device_put(np.asarray(cemb, np.float32), sh),
+            index.block_radius, put(blk),
+            put(np.asarray(cemb, np.float32)),
             jnp.float32(radius))))
     ndata_sh = index.mesh.shape[DATA]
     c_loc = cb // ndata_sh
