@@ -1,0 +1,239 @@
+"""Alignment-path parity vs the reference's OWN compiled engine.
+
+VERDICT r1 asked for .m8 parity against the compiled ``pcluster``
+binary.  The shipped pcluster does NOT compile — three glue bugs:
+
+  1. ``CHashSearch::m_protienIDS`` / ``m_proteinDB`` are uninitialized
+     REFERENCE members (hash_search.hpp:246-247) that
+     ``BuildProteinsIndex`` then assigns *through*
+     (hash_search.cpp:166-167) — ill-formed C++ / UB;
+  2. ``pcluster.cpp:166`` calls ``ProteinSearching(ids, db)``, an
+     overload that does not exist (only ``ProteinSearching()`` is
+     declared, hash_search.hpp:252);
+  3. ``BuildProteinsIndex`` / ``ProteinSearching`` index
+     ``pro_seqs[i]`` with the LOOP index, not ``protienIDS[i]``
+     (hash_search.cpp:187-190, 276-279) — any group other than
+     "all proteins, in order" reads the wrong sequences.
+
+So full-pipeline binary parity is impossible; this test does the
+strongest feasible thing instead: compile the reference's UNMODIFIED
+alignment engine (hash_search.cpp = the RAPSearch2-derived core, plus
+blast_stat.cpp) with a two-line glue repair (reference members ->
+value members; a default ProteinDB ctor) and a minimal driver that
+indexes ALL proteins as one group — the only configuration where bug 3
+is inert — then diffs the .m8 hit set, extents, scores-as-bits, and
+e-values against our ProteinSearcher on the same FASTA.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+BUILD = "/tmp/refpclusterbuild"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not mounted")
+
+DRIVER = r"""
+#include "hash_search.hpp"
+#include "read_proteins.hpp"
+#include <cstdlib>
+int main(int argc, char** argv) {
+  if (argc != 3) return 2;
+  ProteinDB db(argv[1]);
+  std::vector<uint32_t> ids(db.num_of_proteins);
+  for (uint32_t i = 0; i < ids.size(); ++i) ids[i] = i;
+  CHashSearch hs(argv[2], 10.0, 100, 500, false, 0);
+  hs.BuildProteinsIndex(ids, db);
+  hs.ProteinSearching();
+  return 0;
+}
+"""
+
+
+@pytest.fixture(scope="session")
+def ref_engine():
+    exe = os.path.join(BUILD, "parity_driver")
+    if os.path.exists(exe):
+        return exe
+    src = os.path.join(REF, "pcluster", "src")
+    if not os.path.isdir(src):
+        pytest.skip("pcluster sources absent")
+    os.makedirs(BUILD, exist_ok=True)
+    pc = os.path.join(BUILD, "pcluster")
+    sl = os.path.join(BUILD, "smithlab_cpp")
+    if not os.path.isdir(pc):
+        shutil.copytree(os.path.join(src, "pcluster"), pc)
+        shutil.copytree(os.path.join(src, "smithlab_cpp"), sl)
+        # glue repair (see module docstring) — engine code untouched
+        hpp = open(os.path.join(pc, "hash_search.hpp")).read()
+        hpp = hpp.replace("vector<uint32_t>& m_protienIDS;",
+                          "vector<uint32_t> m_protienIDS;")
+        hpp = hpp.replace("ProteinDB& m_proteinDB;",
+                          "ProteinDB m_proteinDB;")
+        open(os.path.join(pc, "hash_search.hpp"), "w").write(hpp)
+        rp = open(os.path.join(pc, "read_proteins.hpp")).read()
+        rp = rp.replace("ProteinDB(const string& _file_name)",
+                        "ProteinDB() : num_of_proteins(0) {}\n"
+                        "  ProteinDB(const string& _file_name)")
+        open(os.path.join(pc, "read_proteins.hpp"), "w").write(rp)
+        open(os.path.join(pc, "parity_driver.cpp"), "w").write(DRIVER)
+    cxx = ["g++", "-O2", "-std=c++11", f"-I{pc}", f"-I{sl}"]
+    objs = []
+    for unit in ["parity_driver.cpp", "hash_search.cpp", "blast_stat.cpp",
+                 "read_proteins.cpp"]:
+        o = os.path.join(BUILD, unit.replace(".cpp", ".o"))
+        r = subprocess.run(cxx + ["-c", os.path.join(pc, unit), "-o", o],
+                           capture_output=True)
+        if r.returncode:
+            pytest.skip("engine compile failed: "
+                        + r.stderr.decode()[:400])
+        objs.append(o)
+    for unit in ["smithlab_os.cpp", "smithlab_utils.cpp",
+                 "OptionParser.cpp"]:
+        o = os.path.join(BUILD, unit.replace(".cpp", ".o"))
+        r = subprocess.run(cxx + ["-c", os.path.join(sl, unit), "-o", o],
+                           capture_output=True)
+        if r.returncode:
+            pytest.skip("smithlab compile failed: "
+                        + r.stderr.decode()[:400])
+        objs.append(o)
+    r = subprocess.run(cxx + objs + ["-o", exe], capture_output=True)
+    if r.returncode:
+        pytest.skip("link failed: " + r.stderr.decode()[:400])
+    return exe
+
+
+def _family_fasta(path, rng, n_fam=3, per_fam=3, length=90, flips=3):
+    from hsearch_tpu.core import alphabet
+    names, seqs = [], []
+    for f in range(n_fam):
+        base = rng.integers(0, 20, length)
+        for m in range(per_fam):
+            s = base.copy()
+            pos = rng.choice(length, flips, replace=False)
+            s[pos] = rng.integers(0, 20, flips)
+            names.append(f"fam{f}mem{m}")
+            seqs.append(alphabet.decode(s))
+    with open(path, "w") as fh:
+        for n_, s_ in zip(names, seqs):
+            fh.write(f">{n_}\n{s_}\n")
+    return names
+
+
+def _float(s):
+    # the reference sets ios::scientific AND ios::fixed together for
+    # e-values < 0.01 (PrintM8, hash_search.cpp:1296-1300) — in C++11
+    # that combination means HEXFLOAT output
+    try:
+        return float(s)
+    except ValueError:
+        return float.fromhex(s)
+
+
+def _parse_m8(path):
+    rows = {}
+    current_q = None
+    for line in open(path):
+        parts = line.rstrip("\n").split("\t")
+        if len(parts) != 12:
+            # ProteinSearching writes the query name on its own line
+            # (hash_search.cpp:277); subsequent hit rows have an empty
+            # first field
+            if len(parts) == 1 and parts[0]:
+                current_q = parts[0]
+            continue
+        q, d = parts[0] or current_q, parts[1]
+        key = (q, d, int(parts[6]), int(parts[7]), int(parts[8]),
+               int(parts[9]))
+        rows[key] = dict(ident=float(parts[2]), aln=int(parts[3]),
+                         mism=int(parts[4]), gap=int(parts[5]),
+                         ev=_float(parts[10]), bits=_float(parts[11]))
+    return rows
+
+
+def test_m8_parity_vs_reference_engine(tmp_path, rng, ref_engine):
+    from hsearch_tpu.align import pipeline as apipe
+    from hsearch_tpu.core import io as hio
+
+    fa = str(tmp_path / "db.fasta")
+    _family_fasta(fa, rng)
+    out = str(tmp_path / "ref")
+    r = subprocess.run([ref_engine, fa, out], capture_output=True,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    ref = _parse_m8(out + ".m8")
+    assert ref, "reference engine produced no hits"
+
+    db = hio.read_fasta(fa, seed=0)
+    s = apipe.ProteinSearcher(db)
+    hits = s.search_all()
+    ours_path = str(tmp_path / "ours.m8")
+    apipe.write_m8(ours_path, hits, db.names, db.names)
+    ours = _parse_m8(ours_path)
+
+    assert set(ours) == set(ref), (
+        f"hit sets differ: ours-only={sorted(set(ours) - set(ref))[:5]} "
+        f"ref-only={sorted(set(ref) - set(ours))[:5]}")
+    for k in ref:
+        assert abs(ours[k]["bits"] - ref[k]["bits"]) <= 0.1, (k, ours[k],
+                                                              ref[k])
+        np.testing.assert_allclose(ours[k]["ev"], ref[k]["ev"], rtol=0.05,
+                                   atol=1e-30, err_msg=str(k))
+        assert ours[k]["aln"] == ref[k]["aln"], k
+        assert abs(ours[k]["ident"] - ref[k]["ident"]) <= 0.1, k
+
+
+def test_m8_parity_multi_hsp_and_varied_lengths(tmp_path, rng, ref_engine):
+    """Harder workload: shared segments separated by divergent middles
+    (multiple HSPs per subject -> the SumEvalue path), varied lengths,
+    partial homology — exercises x-drop extents and sum statistics."""
+    from hsearch_tpu.align import pipeline as apipe
+    from hsearch_tpu.core import alphabet, io as hio
+
+    names, seqs = [], []
+    segA = rng.integers(0, 20, 45)
+    segB = rng.integers(0, 20, 50)
+    for m in range(3):
+        mid = rng.integers(0, 20, 25 + 7 * m)      # divergent middles
+        s = np.concatenate([segA, mid, segB])
+        names.append(f"hsp{m}")
+        seqs.append(alphabet.decode(s))
+    for m in range(3):
+        names.append(f"rand{m}")
+        seqs.append(alphabet.decode(rng.integers(0, 20, 60 + 40 * m)))
+    # a short protein to hit suffix-truncation paths
+    names.append("short")
+    seqs.append(alphabet.decode(np.concatenate(
+        [segA[:12], rng.integers(0, 20, 3)])))
+    fa = str(tmp_path / "db2.fasta")
+    with open(fa, "w") as fh:
+        for n_, s_ in zip(names, seqs):
+            fh.write(f">{n_}\n{s_}\n")
+
+    out = str(tmp_path / "ref2")
+    r = subprocess.run([ref_engine, fa, out], capture_output=True,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    ref = _parse_m8(out + ".m8")
+    assert ref
+
+    db = hio.read_fasta(fa, seed=0)
+    s = apipe.ProteinSearcher(db)
+    ours_path = str(tmp_path / "ours2.m8")
+    apipe.write_m8(ours_path, s.search_all(), db.names, db.names)
+    ours = _parse_m8(ours_path)
+
+    assert set(ours) == set(ref), (
+        f"ours-only={sorted(set(ours) - set(ref))[:6]} "
+        f"ref-only={sorted(set(ref) - set(ours))[:6]}")
+    for k in ref:
+        assert abs(ours[k]["bits"] - ref[k]["bits"]) <= 0.1, (k, ours[k],
+                                                              ref[k])
+        np.testing.assert_allclose(ours[k]["ev"], ref[k]["ev"], rtol=0.05,
+                                   atol=1e-30, err_msg=str(k))
+        assert ours[k]["aln"] == ref[k]["aln"], k
