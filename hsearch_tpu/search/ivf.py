@@ -330,7 +330,8 @@ def _index_kmers(index: IVFIndex) -> np.ndarray:
 
 def search(index: IVFIndex, centers: np.ndarray, radius: float,
            k_blocks: int = 64, max_hits: int = 256,
-           center_block: int = 256, retry_overflow: bool = True):
+           center_block: int = 256, retry_overflow: bool = True,
+           stats_out: dict | None = None):
     """All (center, kmer) pairs within ``radius`` — exact, block-pruned.
 
     Returns (center_idx, kmer_idx, dist) host arrays, identical contract
@@ -339,11 +340,23 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     Exactness is adaptive, not hand-tuned: a center whose surviving
     blocks exceed ``k_blocks`` lost the coverage guarantee, so (with
     ``retry_overflow``, the default) only those centers re-run with a
-    doubled cap until none overflow — recall is exactly 1.0 for every
-    center without paying the worst case's k_blocks on all of them.
-    Doubling keeps the set of compiled program shapes logarithmic.
-    ``max_hits`` overflow retries the same way (doubled hit capacity).
-    With ``retry_overflow=False`` a warning reports both overflows.
+    4x cap until none overflow — recall is exactly 1.0 for every
+    center, and the 4x ladder keeps the set of compiled program shapes
+    logarithmic (center_block shrinks by the same factor so HBM for the
+    candidate gather stays bounded).  ``max_hits`` overflow retries the
+    same way (doubled hit capacity).
+
+    COST CAVEAT (measured, 2^20 family corpus, R=35): the triangle
+    bound leaves ~2/3 of all blocks unprunable for typical centers
+    (max_alive 35806 of 53740), so a fully lossless search costs ~5x
+    the dense brute-force GEMM.  When weighted recall >= target is the
+    actual contract (the reference's own bar), prefer
+    ``retry_overflow=False`` with a recall-measured k_blocks — kb=128
+    reaches 0.9935 at 230x the lossless throughput; ``stats_out``
+    reports ``over_blocks``/``over_hits`` (and suppresses the
+    per-call warnings) so callers can escalate on evidence.
+    With ``retry_overflow=False`` and no ``stats_out`` a warning
+    reports both overflows.
     """
     c_total = centers.shape[0]
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
@@ -372,6 +385,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             index, cblk, jnp.asarray(cemb, jnp.float32),
             jnp.float32(radius), k_blocks, max_hits,
             use_pallas, approx_select)))
+    max_alive = 0
     for s, pad, (packed, ids, d2) in pending:
         real = center_block - pad
         hits, (n_hits, n_alive) = compact.unpack_hits(
@@ -380,6 +394,8 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
                | (n_hits[:real] > max_hits))
         over_blocks += int((n_alive[:real] > k_blocks).sum())
         over_hits += int((n_hits[:real] > max_hits).sum())
+        if real:
+            max_alive = max(max_alive, int(n_alive[:real].max()))
         if retry_overflow:
             redo.append(np.nonzero(bad)[0] + s)
         if hits is not None:
@@ -410,18 +426,37 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     can_grow = k_blocks < index.num_blocks or over_hits
     if retry_overflow and redo_ids.size and can_grow:
         # lossless overflow retry: re-search ONLY the overflowed centers
-        # with doubled caps (k_blocks is bounded by the block count, so
-        # the recursion terminates with every survivor covered)
+        # with a 4x block cap, shrinking the center block by the same
+        # factor so the (cb, kb*bs, L) candidate gather never exceeds
+        # the main pass's memory envelope (an unscaled doubling ladder
+        # reached kb=16k x cb=256 = a 16 GB gather and OOMed the chip).
+        # kb is bounded by the block count, so the recursion terminates
+        # with every survivor covered exactly.
+        kb2 = min(4 * k_blocks, index.num_blocks)
+        cb2 = max(1, (center_block * k_blocks) // kb2)
         keep = ~np.isin(out_c, redo_ids)
+        sub_stats: dict = {}
         rc, rk, rd = search(
             index, np.asarray(centers)[redo_ids], radius,
-            k_blocks=min(2 * k_blocks, index.num_blocks),
+            k_blocks=kb2,
             max_hits=2 * max_hits if over_hits else max_hits,
-            center_block=center_block, retry_overflow=True)
+            center_block=cb2, retry_overflow=True,
+            stats_out=sub_stats)
         out_c = np.concatenate([out_c[keep], redo_ids[rc]])
         out_k = np.concatenate([out_k[keep], rk])
         out_d = np.concatenate([out_d[keep], rd]).astype(np.float32)
-    elif over_blocks or over_hits:
+        if stats_out is not None:
+            stats_out.update(
+                max_alive=max(max_alive, sub_stats.get("max_alive", 0)),
+                retried=int(redo_ids.size) + sub_stats.get("retried", 0),
+                retry_depth=1 + sub_stats.get("retry_depth", 0),
+                over_blocks=sub_stats.get("over_blocks", 0),
+                over_hits=sub_stats.get("over_hits", 0))
+        return out_c, out_k, out_d
+    elif (over_blocks or over_hits) and stats_out is None:
+        # stats_out is the explicit diagnostics channel — callers who
+        # pass it (the bench's recall-targeted mode) get the counts
+        # there instead of a warning per call
         import warnings
         if over_blocks:
             warnings.warn(
@@ -432,4 +467,10 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             warnings.warn(
                 f"{over_hits} centers exceeded max_hits={max_hits}; "
                 "nearest hits kept")
+    if stats_out is not None:
+        stats_out.setdefault("max_alive", max_alive)
+        stats_out.setdefault("retried", 0)
+        stats_out.setdefault("retry_depth", 0)
+        stats_out["over_blocks"] = over_blocks
+        stats_out["over_hits"] = over_hits
     return out_c, out_k, out_d
