@@ -1,0 +1,68 @@
+"""Aligner throughput: ProteinSearcher.search_all on a family corpus.
+
+    python examples/bench_align.py [n_proteins]
+
+Measures proteins/s for the batched all-vs-all group search (the
+pcluster inner loop) and for the full cluster_proteins pipeline.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+    import jax
+    if os.environ.get("HSEARCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HSEARCH_PLATFORM"])
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from hsearch_tpu.align import pipeline as apipe
+    from hsearch_tpu.cluster import pcluster
+    from hsearch_tpu.core import io as hio
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    rng = np.random.default_rng(0)
+    n_fam = max(1, n // 4)
+    seqs, names = [], []
+    for i in range(n):
+        if i < n_fam * 4:
+            fam = i % n_fam
+            base_rng = np.random.default_rng(1000 + fam)
+            s = base_rng.integers(0, 20, 120).astype(np.int32)
+            pos = rng.choice(120, 4, replace=False)
+            s[pos] = rng.integers(0, 20, 4)
+        else:
+            s = rng.integers(0, 20, 120).astype(np.int32)
+        seqs.append(s)
+        names.append(f"p{i}")
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=names, seq=np.concatenate(seqs),
+                       starts=starts)
+
+    t0 = time.perf_counter()
+    searcher = apipe.ProteinSearcher(db)
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hits = searcher.search_all()
+    t_search = time.perf_counter() - t0
+    print(json.dumps({
+        "bench": "search_all", "proteins": n, "hits": len(hits),
+        "build_s": round(t_build, 2), "search_s": round(t_search, 2),
+        "proteins_per_s": round(n / t_search, 1)}), flush=True)
+
+    t0 = time.perf_counter()
+    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0), tables=4)
+    t_pc = time.perf_counter() - t0
+    print(json.dumps({
+        "bench": "cluster_proteins", "proteins": n,
+        "clusters": len(set(res.labels.tolist())),
+        "hits": len(res.hits), "total_s": round(t_pc, 2),
+        "proteins_per_s": round(n / t_pc, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Secondary benchmark: every engine on the bench workload, one process.
+
+Measures, on the same family-structured corpus as bench.py:
+  * LSH motif search q/s (the reference's namesake algorithm) + its
+    weighted recall vs the exact oracle,
+  * IVF q/s (the headline engine, for the side-by-side),
+  * hclust2 greedy clustering k-mers/s,
+  * hclust (centroid, device-scanned) k-mers/s.
+
+Run:  python examples/bench_engines.py [log2_n]
+(HSEARCH_PLATFORM=cpu for a smoke run; real numbers need the TPU.)
+Writes one JSON line per row so BENCH_NOTES can quote them.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+    import jax
+
+    if os.environ.get("HSEARCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HSEARCH_PLATFORM"])
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/hsearch_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import protein_like_db
+    from hsearch_tpu.search import evaluate, exact, ivf, motif
+    from hsearch_tpu.cluster import centroid, greedy
+
+    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    n, c, l, radius = 1 << log2n, 256, 25, 35.0
+    rng = np.random.default_rng(0)
+    db, centers = protein_like_db(rng, n, l, query_n=c)
+    c = centers.shape[0]
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    log(f"# workload n=2^{log2n} c={c} l={l} R={radius}")
+
+    # ---- LSH (reference operating point, multiprobe variant too) ----
+    cfg = motif.MotifSearchConfig(hash_k=4, hash_l=4, w=50.0,
+                                  radius=radius, center_block=256,
+                                  max_hits=512)
+    t0 = time.perf_counter()
+    index = motif.build_index(db, jax.random.PRNGKey(0), cfg)
+    jax.block_until_ready(index.tables.sorted_codes)
+    log(f"# lsh build {time.perf_counter()-t0:.1f}s cand_max="
+        f"{index.cand_max}")
+    motif.search(index, centers, cfg)              # warmup/compile
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        ci, ki, dd = motif.search(index, centers, cfg)
+    lsh_qps = c / ((time.perf_counter() - t0) / iters)
+
+    # oracle for recall
+    gci, gki, gd = exact.search_radius(db, centers, radius,
+                                       center_block=256, max_hits=2048)
+    rep = evaluate.recall_from_indices(gci, gki, gd, ci, ki, radius)
+    print(json.dumps({"engine": "lsh", "n": n, "qps": round(lsh_qps, 1),
+                      "weighted_recall": round(rep.recall, 4),
+                      "cand_max": index.cand_max}), flush=True)
+
+    # ---- IVF side-by-side ----
+    t0 = time.perf_counter()
+    iidx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
+    jax.block_until_ready(iidx.block_centroid)
+    log(f"# ivf build {time.perf_counter()-t0:.1f}s")
+    ivf.search(iidx, centers, radius, k_blocks=128, max_hits=512)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ci2, ki2, _ = ivf.search(iidx, centers, radius, k_blocks=128,
+                                 max_hits=512)
+    ivf_qps = c / ((time.perf_counter() - t0) / iters)
+    rep2 = evaluate.recall_from_indices(gci, gki, gd, ci2, ki2, radius)
+    print(json.dumps({"engine": "ivf", "n": n, "qps": round(ivf_qps, 1),
+                      "weighted_recall": round(rep2.recall, 4)}),
+          flush=True)
+
+    # ---- clustering throughput ----
+    nc = min(n, 1 << min(log2n, 20))
+    t0 = time.perf_counter()
+    cfg2 = greedy.ClusterConfig(hash_k=16, hash_l=8, w=50.0, radius=radius)
+    res = greedy.cluster_greedy(db[:nc], jax.random.PRNGKey(1), cfg2)
+    g_kps = nc / (time.perf_counter() - t0)
+    n_heads = int((res.merged != 2).sum())
+    print(json.dumps({"engine": "hclust2_greedy", "n": nc,
+                      "kmers_per_s": round(g_kps, 1),
+                      "clusters": n_heads}), flush=True)
+
+    t0 = time.perf_counter()
+    ccfg = centroid.CentroidConfig(hash_k=16, hash_l=8, w=50.0,
+                                   radius=radius)
+    members = centroid.cluster_centroid(db[:nc], jax.random.PRNGKey(2),
+                                        ccfg)
+    c_kps = nc / (time.perf_counter() - t0)
+    print(json.dumps({"engine": "hclust_centroid", "n": nc,
+                      "kmers_per_s": round(c_kps, 1),
+                      "clusters": len(members)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
