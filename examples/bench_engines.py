@@ -47,40 +47,51 @@ def main():
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     log(f"# workload n=2^{log2n} c={c} l={l} R={radius}")
 
-    # ---- LSH (reference operating point, multiprobe variant too) ----
-    cfg = motif.MotifSearchConfig(hash_k=4, hash_l=4, w=50.0,
-                                  radius=radius, center_block=256,
-                                  max_hits=512)
-    t0 = time.perf_counter()
-    index = motif.build_index(db, jax.random.PRNGKey(0), cfg)
-    jax.block_until_ready(index.tables.sorted_codes)
-    log(f"# lsh build {time.perf_counter()-t0:.1f}s cand_max="
-        f"{index.cand_max}")
-    motif.search(index, centers, cfg)              # warmup/compile
-    t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        ci, ki, dd = motif.search(index, centers, cfg)
-    lsh_qps = c / ((time.perf_counter() - t0) / iters)
-
-    # oracle for recall
+    # oracle for recall (shared by both engines)
     gci, gki, gd = exact.search_radius(db, centers, radius,
                                        center_block=256, max_hits=2048)
-    rep = evaluate.recall_from_indices(gci, gki, gd, ci, ki, radius)
-    print(json.dumps({"engine": "lsh", "n": n, "qps": round(lsh_qps, 1),
-                      "weighted_recall": round(rep.recall, 4),
-                      "cand_max": index.cand_max}), flush=True)
 
-    # ---- IVF side-by-side ----
+    # ---- LSH rows: the reference's fixed point (K=L=4, W=50,
+    # motif_both_points.cpp:375-382) AND the point the tuning harness
+    # picks for this workload geometry (lsh/tuning.py sweep at 2^16:
+    # K=8 L=8 W=105 P=8 -> recall 0.9995; the reference point
+    # truncates against the cand_max skew ceiling on family data) ----
+    iters = 3
+    for tag, cfg in (
+            ("lsh_ref", motif.MotifSearchConfig(
+                hash_k=4, hash_l=4, w=50.0, radius=radius,
+                center_block=256, max_hits=512)),
+            ("lsh_tuned", motif.MotifSearchConfig(
+                hash_k=8, hash_l=8, w=105.0, radius=radius, probes=8,
+                center_block=256, max_hits=512))):
+        t0 = time.perf_counter()
+        index = motif.build_index(db, jax.random.PRNGKey(0), cfg)
+        jax.block_until_ready(index.tables.sorted_codes)
+        log(f"# {tag} build {time.perf_counter()-t0:.1f}s cand_max="
+            f"{index.cand_max}")
+        motif.search(index, centers, cfg)          # warmup/compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ci, ki, dd = motif.search(index, centers, cfg)
+        lsh_qps = c / ((time.perf_counter() - t0) / iters)
+        rep = evaluate.recall_from_indices(gci, gki, gd, ci, ki, radius)
+        print(json.dumps({"engine": tag, "n": n, "qps": round(lsh_qps, 1),
+                          "weighted_recall": round(rep.recall, 4),
+                          "cand_max": index.cand_max}), flush=True)
+
+    # ---- IVF side-by-side (the bench operating point: recall-measured
+    # kb, lossless retry off — see BENCH_NOTES round-2 delta) ----
     t0 = time.perf_counter()
     iidx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
     jax.block_until_ready(iidx.block_centroid)
     log(f"# ivf build {time.perf_counter()-t0:.1f}s")
-    ivf.search(iidx, centers, radius, k_blocks=128, max_hits=512)
+    ivf.search(iidx, centers, radius, k_blocks=128, max_hits=512,
+               center_block=512, retry_overflow=False, stats_out={})
     t0 = time.perf_counter()
     for _ in range(iters):
         ci2, ki2, _ = ivf.search(iidx, centers, radius, k_blocks=128,
-                                 max_hits=512)
+                                 max_hits=512, center_block=512,
+                                 retry_overflow=False, stats_out={})
     ivf_qps = c / ((time.perf_counter() - t0) / iters)
     rep2 = evaluate.recall_from_indices(gci, gki, gd, ci2, ki2, radius)
     print(json.dumps({"engine": "ivf", "n": n, "qps": round(ivf_qps, 1),
