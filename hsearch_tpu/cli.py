@@ -105,7 +105,10 @@ def cmd_motif_search(args):
         index = ivf.build_index(dk, key, block_size=args.block_size)
         ci, ki, dd = ivf.search(index, centers, args.radius,
                                 k_blocks=args.k_blocks,
-                                max_hits=args.max_hits)
+                                max_hits=args.max_hits,
+                                center_block=args.center_block,
+                                retry_overflow=not args.no_retry,
+                                stats_out={} if args.no_retry else None)
     else:
         cfg = motif.MotifSearchConfig(
             hash_k=args.hash_k, hash_l=args.hash_l, w=args.width,
@@ -486,6 +489,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--max-hits", type=int, default=256)
     q.add_argument("--block-size", type=int, default=32)
     q.add_argument("--k-blocks", type=int, default=64)
+    q.add_argument("--center-block", type=int, default=256)
+    q.add_argument("--no-retry", action="store_true",
+                   help="skip the lossless overflow retry (fixed k-blocks"
+                   " budget; recall-measured operating point)")
     common_lsh(q)
     q.set_defaults(func=cmd_motif_search)
 
