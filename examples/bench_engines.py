@@ -63,9 +63,14 @@ def main():
                 center_block=256, max_hits=512)),
             ("lsh_tuned", motif.MotifSearchConfig(
                 hash_k=8, hash_l=8, w=105.0, radius=radius, probes=8,
-                center_block=256, max_hits=512))):
+                center_block=32, max_hits=512))):
         t0 = time.perf_counter()
-        index = motif.build_index(db, jax.random.PRNGKey(0), cfg)
+        # the tuned point's verify bill is L*P*cand_max slots/query; at
+        # the 8192 skew ceiling that gather OOMs 16 GB HBM at cb=256,
+        # so the tuned row runs cand_max=2048 / cb=32 (bounded memory,
+        # more dispatches — the measured cost of LSH on skewed data)
+        kw = dict(cand_max=2048) if tag == "lsh_tuned" else {}
+        index = motif.build_index(db, jax.random.PRNGKey(0), cfg, **kw)
         jax.block_until_ready(index.tables.sorted_codes)
         log(f"# {tag} build {time.perf_counter()-t0:.1f}s cand_max="
             f"{index.cand_max}")

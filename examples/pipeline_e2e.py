@@ -127,11 +127,21 @@ def main():
                          str(KMER_LEN), "-T", str(RADIUS), "-k", "16",
                          "-L", "8"], times)
 
-    # 6. post-processing: centers + MEME motif format
+    # 6. post-processing: centers + MEME motif format.  The reference's
+    # default floor is 50 members (centerDistanceSmapling.cpp:12), but
+    # gen-kmers dedups exact family copies, so post-dedup cluster sizes
+    # depend on corpus mutation density — fall down a ladder instead of
+    # failing the whole run.
     post = os.path.join(outdir, "post")
-    min_size = "50" if n_genes >= 10000 else "2"
-    run("postprocess", py + ["postprocess", "-c", clus, "-o", post,
-                             "--min-size", min_size], times)
+    for min_size in ("50", "10", "2"):
+        try:
+            run(f"postprocess(min={min_size})",
+                py + ["postprocess", "-c", clus, "-o", post,
+                      "--min-size", min_size], times)
+            break
+        except SystemExit:
+            print(f"[postprocess] no clusters >= {min_size}, lowering",
+                  file=sys.stderr, flush=True)
 
     summary = dict(n_genes=n_genes, n_kmers=n_kmers,
                    n_clustered=nsub, times_s=times,
