@@ -146,7 +146,7 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
         jax.shard_map, mesh=msh,
         in_specs=(P(None, DB), P(None, DB), P(DB, None), P(DATA, None),
                   P(), P(), P()),
-        out_specs=(P(DATA, None), P(DATA, None), P(DATA, None)),
+        out_specs=(P(DATA), P(DATA, None), P(DATA, None)),
         # outputs are replicated over ``db`` by the trailing all_gather/pmax,
         # which the static VMA checker cannot infer
         check_vma=False)
@@ -194,7 +194,8 @@ def _search_step(index: ShardedMotifIndex, is_kmers: bool):
         c_loc = gids.shape[0]
         packed = compact.pack_hits(
             gids, d2g, n_points, meta_vecs=(n_hits,),
-            cid_offset=jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc)
+            cid_offset=jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc,
+            cid_bound=c_loc * msh.shape[DATA])
         return packed, gids, d2g
 
     return jax.jit(step)
@@ -248,7 +249,7 @@ def search(index: ShardedMotifIndex, centers: np.ndarray,
     c_loc = cb // ndata_sh
     for s, pad, (packed, gids, d2) in pending:
         real = cb - pad
-        out = np.asarray(packed).reshape(ndata_sh, 4, -1)
+        out = np.asarray(packed).reshape(ndata_sh, -1)
         shard_hits = [compact.unpack_hits(out[sd], (c_loc,))
                       for sd in range(ndata_sh)]
         n_hits = np.concatenate([m[0] for _, m in shard_hits])
@@ -443,7 +444,7 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
         jax.shard_map, mesh=msh,
         in_specs=(P(DB, None, None), P(DB, None), P(DB, None), P(DB),
                   P(DATA, None), P(DATA, None), P()),
-        out_specs=(P(DATA, None), P(DATA, None), P(DATA, None)),
+        out_specs=(P(DATA), P(DATA, None), P(DATA, None)),
         check_vma=False)
     def step(db_sorted, order, cent, rad, centers_local, cemb_local, r):
         dblk = jnp.sqrt(distance.sq_distance_matrix(cemb_local, cent))
@@ -481,7 +482,8 @@ def _ivf_step(index: ShardedIVFIndex, k_blocks: int):
         c_loc = gids.shape[0]
         packed = compact.pack_hits(
             gids, d2g, n_points, meta_vecs=(n_hits, n_alive),
-            cid_offset=jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc)
+            cid_offset=jax.lax.axis_index(DATA).astype(jnp.int32) * c_loc,
+            cid_bound=c_loc * msh.shape[DATA])
         return packed, gids, d2g
 
     return jax.jit(step)
@@ -524,7 +526,7 @@ def search_ivf(index: ShardedIVFIndex, centers: np.ndarray, radius: float,
     c_loc = cb // ndata_sh
     for s, pad, (packed, gids, d2) in pending:
         real = cb - pad
-        out = np.asarray(packed).reshape(ndata_sh, 4, -1)
+        out = np.asarray(packed).reshape(ndata_sh, -1)
         shard_hits = [compact.unpack_hits(out[sd], (c_loc, c_loc))
                       for sd in range(ndata_sh)]
         n_hits = np.concatenate([m[0] for _, m in shard_hits])

@@ -89,7 +89,9 @@ def _radius_scan_compact(centers, db_blocks, n_true, r2, is_kmers: bool,
             jnp.zeros(c, jnp.int32), jnp.int32(0))
     (best_d2, best_ids, n_hits, _), _ = jax.lax.scan(body, init, db_blocks)
     ids = jnp.where(jnp.isfinite(best_d2), best_ids, n_pad)
-    packed = compact.pack_hits(ids, best_d2, n_true, meta_vecs=(n_hits,))
+    # n_true is traced here; n_pad is the static bound on valid ids
+    packed = compact.pack_hits(ids, best_d2, n_true, meta_vecs=(n_hits,),
+                               id_bound=n_pad)
     return packed, ids, best_d2
 
 

@@ -237,8 +237,8 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
                   use_pallas: bool = False, approx_select: bool = False):
     """One center block: prune blocks, gather survivors, exact verify.
 
-    Returns (packed (4, cap) int32 — rows [cid | kid | d2-bits | meta]
-    with meta = [total, n_hits (C), n_alive (C), 0...]; ids (C, max_hits)
+    Returns (packed flat int32 buffer — ops/compact layout with
+    meta = [n_hits (C), n_alive (C)]; ids (C, max_hits)
     sentinel-N and d2 (C, max_hits) as the lossless overflow fallback).
     """
     n = index.n_points

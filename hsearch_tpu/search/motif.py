@@ -126,11 +126,11 @@ def _probe_verify(index: MotifIndex, centers: jax.Array,
                   max_hits: int = 256):
     """One center block: probe all tables, dedup, exact-verify, compact.
 
-    Returns (packed (4, cap) int32 — rows [cid | kid | d2-bits | meta],
-    meta = [total, n_hits (C), 0...]; plus the full ids (C, max_hits)
+    Returns (packed flat int32 buffer — ops/compact layout with
+    meta = [n_hits (C), n_dropped (C)]; plus the full ids (C, max_hits)
     sentinel-N and dist (C, max_hits) buffers, which transfer lazily and
     are touched only on packed-capacity overflow).  All filtering
-    happens on device; the common-case harvest is ONE quarter-capacity
+    happens on device; the common-case harvest is ONE fused-word
     transfer (the per-transfer tunnel cost dominates the bytes —
     search/ivf.py carries the measurements).
     """

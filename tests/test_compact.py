@@ -36,6 +36,40 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(mh, n_hits)
 
 
+def test_pack_fused_sign_bit_boundary():
+    # cid_bits + kid_bits == 32 exactly: the fused word runs into the
+    # int32 sign bit and must decode through the host uint32 view
+    # (the 2^23-point / 512-center bench shape)
+    n = 1 << 23
+    c, k = 512, 4
+    ids = np.full((c, k), n, np.int32)         # all sentinel...
+    ids[0, 0] = n - 1                          # ...except the extremes
+    ids[c - 1, 1] = 0
+    d2 = np.full((c, k), 7.25, np.float32)
+    packed = compact.pack_hits(jnp.asarray(ids), jnp.asarray(d2), n,
+                               cap_frac=1)
+    assert int(np.asarray(packed)[0]) == 23    # fused, kid_bits=23
+    hits, _ = compact.unpack_hits(np.asarray(packed), ())
+    hc, hk, hd = hits
+    assert sorted(zip(hc.tolist(), hk.tolist())) == [(0, n - 1),
+                                                     (c - 1, 0)]
+    assert hd.tolist() == [7.25, 7.25]
+
+
+def test_pack_wide_ids_fall_back_to_split():
+    # ids too wide to fuse (cid_bits + kid_bits > 32) -> split layout
+    n = 1 << 30
+    ids = np.array([[5, n]], np.int32)
+    d2 = np.array([[2.0, 0.0]], np.float32)
+    packed = compact.pack_hits(jnp.asarray(ids), jnp.asarray(d2), n,
+                               cid_bound=1 << 8, cap_frac=1)
+    assert int(np.asarray(packed)[0]) == 0     # split marker
+    hits, _ = compact.unpack_hits(np.asarray(packed), ())
+    hc, hk, hd = hits
+    assert hc.tolist() == [0] and hk.tolist() == [5]
+    assert hd.tolist() == [2.0]
+
+
 def test_pack_overflow_returns_none():
     c, k, n = 4, 16, 50
     ids = np.zeros((c, k), np.int32)           # every slot valid
