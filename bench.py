@@ -69,9 +69,10 @@ def main():
     # ten-minute budget; HSEARCH_BENCH_N overrides (log2)
     n = 1 << int(os.environ.get("HSEARCH_BENCH_N", "18" if on_tpu
                                 else "16"))
-    # 1024 queries in cb=512 device blocks: measured 8339 q/s vs 4882
-    # at cb=256 (the ~30 ms per-call tunnel floor halves) and 7669 at
-    # cb=1024 (working set too big); recall identical (probe r2)
+    # 1024 queries in ONE cb=1024 device block: with the 4-word/hit
+    # pack, cb=1024 measured 7669 q/s vs 8339 at cb=512 (working set
+    # too big); the fused 2-word pack flipped it — 9815 vs 9537 q/s
+    # (one dispatch floor + one transfer tail); recall identical
     c = 1024 if on_tpu else 64
     l = 25
     radius = 35.0
@@ -92,7 +93,7 @@ def main():
     # oracle cap is 4x the engine's so a center with > mh true hits
     # cannot silently shrink the recall denominator (ADVICE r1 #1);
     # truth truncation, if any, is reported on stderr.
-    mh, cb, ocb = 512, (512 if on_tpu else 64), 256
+    mh, cb, ocb = 512, (1024 if on_tpu else 64), 256
     oracle_mh = 4 * mh
     exact.search_radius(db, centers[:ocb], radius, center_block=ocb,
                         max_hits=oracle_mh)           # warmup/compile
@@ -108,7 +109,7 @@ def main():
         print(f"# ORACLE TRUNCATED: {w.message} — recall denominator "
               "incomplete", file=sys.stderr, flush=True)
 
-    # 512-center device calls (each call pays a ~30 ms tunnel dispatch
+    # one-block device calls (each call pays a ~30 ms tunnel dispatch
     # floor and serializes its transfer tail, so fewer, larger calls
     # win until the on-chip working set bites).  k_blocks is chosen by
     # MEASURED weighted recall, not hand-tuning (VERDICT r1 #3): run the

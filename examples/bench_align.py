@@ -1,9 +1,13 @@
 """Aligner throughput: ProteinSearcher.search_all on a family corpus.
 
-    python examples/bench_align.py [n_proteins]
+    python examples/bench_align.py [n_proteins] [--cluster-only]
 
 Measures proteins/s for the batched all-vs-all group search (the
 pcluster inner loop) and for the full cluster_proteins pipeline.
+``--cluster-only`` skips search_all: all-vs-all over one undivided
+group is quadratic in N on a family corpus (every query extends into
+every family's seed buckets), which is exactly the blowup the KLSH
+pre-grouping exists to avoid — at N >= 1e5 measure cluster_proteins.
 """
 
 import json
@@ -24,7 +28,9 @@ def main():
     from hsearch_tpu.cluster import pcluster
     from hsearch_tpu.core import io as hio
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cluster_only = "--cluster-only" in sys.argv
+    n = int(args[0]) if args else 1000
     rng = np.random.default_rng(0)
     n_fam = max(1, n // 4)
     seqs, names = [], []
@@ -43,6 +49,20 @@ def main():
     db = hio.ProteinDB(names=names, seq=np.concatenate(seqs),
                        starts=starts)
 
+    if not cluster_only:
+        _bench_search_all(apipe, db, n)
+
+    t0 = time.perf_counter()
+    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0), tables=4)
+    t_pc = time.perf_counter() - t0
+    print(json.dumps({
+        "bench": "cluster_proteins", "proteins": n,
+        "clusters": len(set(res.labels.tolist())),
+        "hits": len(res.hits), "total_s": round(t_pc, 2),
+        "proteins_per_s": round(n / t_pc, 1)}), flush=True)
+
+
+def _bench_search_all(apipe, db, n):
     t0 = time.perf_counter()
     searcher = apipe.ProteinSearcher(db)
     t_build = time.perf_counter() - t0
@@ -53,15 +73,6 @@ def main():
         "bench": "search_all", "proteins": n, "hits": len(hits),
         "build_s": round(t_build, 2), "search_s": round(t_search, 2),
         "proteins_per_s": round(n / t_search, 1)}), flush=True)
-
-    t0 = time.perf_counter()
-    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0), tables=4)
-    t_pc = time.perf_counter() - t0
-    print(json.dumps({
-        "bench": "cluster_proteins", "proteins": n,
-        "clusters": len(set(res.labels.tolist())),
-        "hits": len(res.hits), "total_s": round(t_pc, 2),
-        "proteins_per_s": round(n / t_pc, 1)}), flush=True)
 
 
 if __name__ == "__main__":
