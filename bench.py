@@ -106,6 +106,8 @@ def main():
                                            max_hits=oracle_mh)
     tpu_brute_qps = c / (time.perf_counter() - t0)
     for w in wlog:
+        if "max_hits" not in str(w.message):
+            continue                     # unrelated (jax/numpy) warning
         print(f"# ORACLE TRUNCATED: {w.message} — recall denominator "
               "incomplete", file=sys.stderr, flush=True)
 

@@ -8,10 +8,13 @@ likewise file-coupled CLI binaries); this driver only synthesizes the
 corpus, converts gen-kmers TSV to k-mer FASTA, samples centers, and
 times the stages.
 
-    python examples/pipeline_e2e.py [n_genes] [outdir]
+    python examples/pipeline_e2e.py [n_genes] [outdir] [--tpu]
 
-Writes a JSON timing summary to <outdir>/pipeline_times.json; measured
-numbers are recorded in docs/PIPELINE.md.
+``--tpu`` runs the search and clustering stages on the ambient (TPU)
+platform and widens the clustering subset to 2^23; host-shaped stages
+(orf, gen-kmers, postprocess) always run on CPU.  Writes a JSON timing
+summary to <outdir>/pipeline_times.json; measured numbers are recorded
+in docs/PIPELINE.md.
 """
 
 import json
@@ -66,8 +69,12 @@ def run(stage, cmd, times, env=None):
 
 
 def main():
-    n_genes = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hsearch_pipeline"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    use_tpu = "--tpu" in sys.argv
+    n_genes = int(args[0]) if args else 20000
+    outdir = args[1] if len(args) > 1 else "/tmp/hsearch_pipeline"
+    cpu = {"HSEARCH_PLATFORM": "cpu"}
+    dev = {} if use_tpu else cpu
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(0)
     times = {}
@@ -79,14 +86,14 @@ def main():
     times["synth_dna"] = round(time.perf_counter() - t0, 2)
 
     # 1. 6-frame ORF translation (orf.cc:39-74 semantics)
-    run("orf", py + ["orf", "-q", dna], times)
+    run("orf", py + ["orf", "-q", dna], times, env=cpu)
     aa = dna + "_translatedAA.fasta"     # <query>_translatedAA.fasta
 
     # 2. unique k-mers via the streaming suffix path (gen-kmers)
     ktsv = os.path.join(outdir, "kmers.tsv")
     run("gen_kmers", py + ["gen-kmers", "-d", aa, "-o", ktsv,
                            "-l", str(KMER_LEN), "--stream-aa",
-                           str(1 << 22)], times)
+                           str(1 << 22)], times, env=cpu)
 
     # 3. TSV -> k-mer FASTA database + sampled centers (host glue)
     t0 = time.perf_counter()
@@ -112,10 +119,10 @@ def main():
     hits = os.path.join(outdir, "hits.txt")
     run("ivf_search", py + ["motif-search", "--engine", "ivf", "-d", kfa,
                             "-c", cfa, "-l", str(KMER_LEN), "-T",
-                            str(RADIUS), "-o", hits], times)
+                            str(RADIUS), "-o", hits], times, env=dev)
 
     # 5. greedy clustering (hclust2) over a bounded subset
-    nsub = min(n_kmers, 1 << 20)
+    nsub = min(n_kmers, 1 << (23 if use_tpu else 20))
     sfa = os.path.join(outdir, "kmers_sub.fasta")
     with open(kfa) as f, open(sfa, "w") as out:
         for i, line in enumerate(f):
@@ -125,7 +132,7 @@ def main():
     clus = os.path.join(outdir, "clusters.txt")
     run("hclust2", py + ["hclust2", "-d", sfa, "-o", clus, "-l",
                          str(KMER_LEN), "-T", str(RADIUS), "-k", "16",
-                         "-L", "8"], times)
+                         "-L", "8"], times, env=dev)
 
     # 6. post-processing: centers + MEME motif format.  The reference's
     # default floor is 50 members (centerDistanceSmapling.cpp:12), but
@@ -137,7 +144,7 @@ def main():
         try:
             run(f"postprocess(min={min_size})",
                 py + ["postprocess", "-c", clus, "-o", post,
-                      "--min-size", min_size], times)
+                      "--min-size", min_size], times, env=cpu)
             break
         except SystemExit:
             print(f"[postprocess] no clusters >= {min_size}, lowering",

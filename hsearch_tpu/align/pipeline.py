@@ -109,6 +109,8 @@ class ProteinSearcher:
         self.stat = blast_stat.BlastStat(float(total_aa), len(self.ids),
                                          gapped=True)
         self._group_stats: dict[int, blast_stat.BlastStat] = {}
+        self._group_counts = None      # lazy bincounts (stat_for_local)
+        self._group_aa = None
         self.cutoffs = blast_stat.DEFAULT_CUTOFFS
 
     def stat_for_local(self, local: int) -> blast_stat.BlastStat:
@@ -119,9 +121,15 @@ class ProteinSearcher:
         g = int(self.groups[local])
         st = self._group_stats.get(g)
         if st is None:
-            sel = self.groups == g
-            lens = (self.starts[1:] - self.starts[:-1])[sel]
-            st = blast_stat.BlastStat(float(lens.sum()), int(sel.sum()),
+            if self._group_counts is None:
+                # one O(S) pass for every group's count and AA total
+                # (a per-group == scan was O(G*S) across search_all)
+                lens = (self.starts[1:] - self.starts[:-1]).astype(
+                    np.float64)
+                self._group_counts = np.bincount(self.groups)
+                self._group_aa = np.bincount(self.groups, weights=lens)
+            st = blast_stat.BlastStat(float(self._group_aa[g]),
+                                      int(self._group_counts[g]),
                                       gapped=True)
             self._group_stats[g] = st
         return st
@@ -134,6 +142,11 @@ class ProteinSearcher:
         """(Q,) group ids -> ((Q,) lo, (Q,) hi) slice bounds in the
         group-partitioned seed index."""
         gs = np.asarray(self.index.group_starts)
+        g = np.asarray(g)
+        if g.size and (g.min() < 0 or g.max() >= len(gs) - 1):
+            raise ValueError(
+                f"group id out of range [0, {len(gs) - 1}): "
+                f"{int(g.min())}..{int(g.max())}")
         import jax.numpy as _jnp
         return (_jnp.asarray(gs[g], _jnp.int32),
                 _jnp.asarray(gs[g + 1], _jnp.int32))

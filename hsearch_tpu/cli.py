@@ -100,19 +100,29 @@ def cmd_motif_search(args):
     centers = ck if ck is not None else cpts
     key = jax.random.PRNGKey(args.seed)
     if args.engine == "exact":
-        ci, ki, dd = exact.search_radius(dk, centers, args.radius)
+        ci, ki, dd = exact.search_radius(dk, centers, args.radius,
+                                         center_block=args.center_block)
     elif args.engine == "ivf":
         index = ivf.build_index(dk, key, block_size=args.block_size)
+        stats: dict = {}
         ci, ki, dd = ivf.search(index, centers, args.radius,
                                 k_blocks=args.k_blocks,
                                 max_hits=args.max_hits,
                                 center_block=args.center_block,
                                 retry_overflow=not args.no_retry,
-                                stats_out={} if args.no_retry else None)
+                                stats_out=stats if args.no_retry else None)
+        if args.no_retry and (stats.get("over_blocks")
+                              or stats.get("over_hits")):
+            print(f"[--no-retry: {stats.get('over_blocks', 0)} centers "
+                  f"exceeded k-blocks={args.k_blocks}, "
+                  f"{stats.get('over_hits', 0)} exceeded "
+                  f"max-hits={args.max_hits}; hit set may be incomplete "
+                  "— raise the caps or drop --no-retry]", file=sys.stderr)
     else:
         cfg = motif.MotifSearchConfig(
             hash_k=args.hash_k, hash_l=args.hash_l, w=args.width,
-            radius=args.radius, probes=args.probes, max_hits=args.max_hits)
+            radius=args.radius, probes=args.probes, max_hits=args.max_hits,
+            center_block=args.center_block)
         index = motif.build_index(dk, key, cfg)
         ci, ki, dd = motif.search(index, centers, cfg)
     with open(args.output, "w") as f:
@@ -491,8 +501,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--k-blocks", type=int, default=64)
     q.add_argument("--center-block", type=int, default=256)
     q.add_argument("--no-retry", action="store_true",
-                   help="skip the lossless overflow retry (fixed k-blocks"
-                   " budget; recall-measured operating point)")
+                   help="ivf engine only: skip the lossless overflow retry"
+                   " (fixed k-blocks budget; recall-measured operating"
+                   " point; overflow counts reported on stderr)")
     common_lsh(q)
     q.set_defaults(func=cmd_motif_search)
 

@@ -57,7 +57,8 @@ def pack_hits(ids: jax.Array, d2: jax.Array, sentinel,
     id after offset and on valid point ids; they decide whether the
     fused 1-word (cid, kid) layout fits in 32 bits.  Defaults: C from
     the shape, and ``sentinel`` when it is a python int (valid ids are
-    < sentinel by contract).  cap = max(C*k // cap_frac, meta length).
+    < sentinel by contract).  cap = max(C*k // cap_frac, 1); the meta
+    vectors live in the header, outside the cap rows.
     """
     c, k = ids.shape
     flat = ids.reshape(-1)
@@ -95,13 +96,6 @@ def pack_hits(ids: jax.Array, d2: jax.Array, sentinel,
     rows.append(jax.lax.bitcast_convert_type(
         s_d2.astype(jnp.float32)[:cap], jnp.int32))
     return jnp.concatenate(head + rows)
-
-
-def packed_len(c: int, k: int, n_meta: int, cap_frac: int = 4,
-               fused: bool = True) -> int:
-    """Length of the pack_hits buffer for the given shapes."""
-    cap = max((c * k) // cap_frac, 1)
-    return _HDR + n_meta + (2 if fused else 3) * cap
 
 
 def unpack_hits(packed: np.ndarray, meta_lens: tuple = ()):

@@ -432,8 +432,9 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         # reached kb=16k x cb=256 = a 16 GB gather and OOMed the chip).
         # kb is bounded by the block count, so the recursion terminates
         # with every survivor covered exactly.
-        kb2 = min(4 * k_blocks, index.num_blocks)
-        cb2 = max(1, (center_block * k_blocks) // kb2)
+        kb_eff = min(k_blocks, index.num_blocks)   # what the pass gathered
+        kb2 = min(4 * kb_eff, index.num_blocks)
+        cb2 = max(1, (center_block * kb_eff) // kb2)
         keep = ~np.isin(out_c, redo_ids)
         sub_stats: dict = {}
         rc, rk, rd = search(
