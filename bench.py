@@ -121,13 +121,17 @@ def main():
     # costs ~5x brute force (measured 21.9 q/s vs 5023 at recall
     # 0.9935); the gate is recall, and recall is measured.
     iters = 3
+    # packed-buffer capacity divisor: the transfer is the bound stage,
+    # and typical hit counts fill ~5% of the cap_frac=4 buffer; overflow
+    # falls back to the full-array transfer, so a tight cap is safe
+    cap_frac = int(os.environ.get("HSEARCH_BENCH_CAPFRAC", "4"))
     qps, rep, kb, stats = None, None, None, {}
     for kb in (128, 256, 512):
         stats = {}
         ci, ki, dd = ivf.search(
             index, centers, radius, k_blocks=kb, max_hits=mh,
             center_block=cb, retry_overflow=False,
-            stats_out=stats)                          # warmup/compile
+            stats_out=stats, pack_cap_frac=cap_frac)  # warmup/compile
         rep = evaluate.recall_from_indices(gci, gki, gd, ci, ki, radius)
         print(f"# kb={kb} recall={rep.recall:.4f} stats={stats}",
               file=sys.stderr, flush=True)
@@ -137,7 +141,8 @@ def main():
     for _ in range(iters):
         ci, ki, dd = ivf.search(index, centers, radius, k_blocks=kb,
                                 max_hits=mh, center_block=cb,
-                                retry_overflow=False, stats_out={})
+                                retry_overflow=False, stats_out={},
+                                pack_cap_frac=cap_frac)
     qps = c / ((time.perf_counter() - t0) / iters)
     print(f"# ivf search done {qps:.1f} q/s", file=sys.stderr, flush=True)
 

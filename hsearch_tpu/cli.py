@@ -162,25 +162,31 @@ def cmd_motif_search_exact(args):
     print(f"[{len(ci)} exact hits -> {args.output}]", file=sys.stderr)
 
 
+def _kmer_matrix(db, kmer_len: int) -> np.ndarray:
+    """First kmer_len residues of every long-enough sequence, one
+    vectorized gather (a per-protein loop costs minutes at IGC scale)."""
+    starts = np.asarray(db.starts)
+    keep = np.nonzero(np.diff(starts) >= kmer_len)[0]
+    if len(keep) == 0:
+        raise SystemExit(f"no sequences of length >= {kmer_len} "
+                         "in the database (check -l)")
+    return np.asarray(db.seq)[starts[keep][:, None]
+                              + np.arange(kmer_len)].astype(np.int32)
+
+
 def cmd_hclust2(args):
     import jax
     from .cluster import greedy
     from .core import alphabet, io as hio
     db = hio.read_fasta(args.database, seed=args.seed)
-    keep = [i for i in range(db.num_proteins)
-            if len(db.protein(i)) >= args.kmer_len]
-    if not keep:
-        raise SystemExit(f"no sequences of length >= {args.kmer_len} "
-                         "in the database (check -l)")
-    km = np.stack([np.asarray(db.protein(i))[:args.kmer_len]
-                   for i in keep]).astype(np.int32)
+    km = _kmer_matrix(db, args.kmer_len)
     cfg = greedy.ClusterConfig(hash_k=args.hash_k, hash_l=args.hash_l,
                                w=args.width, radius=args.radius)
     res = greedy.cluster_greedy(km, jax.random.PRNGKey(args.seed), cfg)
     # member lines are the k-mer sequences: the post-processing tools read
     # them back as sequences (centerDistanceSmapling.cpp:119,146)
-    clusters = [[alphabet.decode(km[int(i)]) for i in grp]
-                for grp in res.clusters()]
+    strs = alphabet.decode_all(km)
+    clusters = [[strs[int(i)] for i in grp] for grp in res.clusters()]
     hio.write_clusters(args.output, clusters, style="hclust2")
     print(f"[{len(clusters)} clusters -> {args.output}]", file=sys.stderr)
 
@@ -190,19 +196,14 @@ def cmd_hclust(args):
     from .cluster import centroid
     from .core import io as hio
     db = hio.read_fasta(args.database, seed=args.seed)
-    keep = [i for i in range(db.num_proteins)
-            if len(db.protein(i)) >= args.kmer_len]
-    if not keep:
-        raise SystemExit(f"no sequences of length >= {args.kmer_len} "
-                         "in the database (check -l)")
-    km = np.stack([np.asarray(db.protein(i))[:args.kmer_len]
-                   for i in keep]).astype(np.int32)
+    km = _kmer_matrix(db, args.kmer_len)
     cfg = centroid.CentroidConfig(hash_k=args.hash_k, hash_l=args.hash_l,
                                   w=args.width, radius=args.radius)
     groups = centroid.cluster_centroid(km, jax.random.PRNGKey(args.seed),
                                        cfg)
     from .core import alphabet
-    clusters = [[alphabet.decode(km[int(i)]) for i in grp] for grp in groups]
+    strs = alphabet.decode_all(km)
+    clusters = [[strs[int(i)] for i in grp] for grp in groups]
     hio.write_clusters(args.output, clusters, style="hclust")
     print(f"[{len(clusters)} clusters -> {args.output}]", file=sys.stderr)
 

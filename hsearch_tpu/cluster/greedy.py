@@ -49,7 +49,8 @@ class ClusterConfig:
     w: float = 50.0
     radius: float = 200.0
     bucket_max: int = 256     # buckets larger than this are chunked
-    bucket_chunk: int = 32    # buckets processed per device call
+    bucket_chunk: int = 32    # widest-class buckets per scan step
+    slab_elems: int = 1 << 20  # id slots per device dispatch
 
 
 # ---------------------------------------------------------------------------
@@ -129,37 +130,88 @@ def _bucket_distances(bucket_kmers: jax.Array, kmer_len: int) -> jax.Array:
 # bucketing (host)
 # ---------------------------------------------------------------------------
 
-def _bucket_matrix(codes: np.ndarray, active_ids: np.ndarray,
-                   bucket_max: int, n_sentinel: int):
-    """Vectorized _make_buckets + _pad_buckets: one (NB, bucket_max)
-    sentinel-padded id matrix, no per-group Python loop (which costs
-    minutes at millions of points).  Ordering matches the loop version:
-    buckets ascend by code, members ascend by id within a bucket."""
+def _class_sizes(bucket_max: int) -> tuple[int, ...]:
+    """Pow-4 bucket-width ladder up to bucket_max, e.g. (4, 16, 64, 256)."""
+    cs = []
+    c = 4
+    while c < bucket_max:
+        cs.append(c)
+        c *= 4
+    cs.append(bucket_max)
+    return tuple(cs)
+
+
+def _bucket_class_matrices(codes: np.ndarray, active_ids: np.ndarray,
+                           bucket_max: int, n_sentinel: int):
+    """Group active ids into per-bucket rows, padded to the nearest size
+    class instead of uniformly to bucket_max.
+
+    Returns [(ids int32 (NB_c, C), valid bool)] per size class C.
+    Uniform padding is catastrophic at scale: measured at 2^23 IGC
+    k-mers, round 0 has 1.10M buckets totalling 5.6M members, half of
+    size 2 — a uniform (NB, 256) matrix is 283M slots (2% occupancy,
+    GBs on device, a 1.1GB parent readback that crashed the TPU
+    worker).  Class padding bounds the overhead at <4x the member
+    count.  Ordering matches the reference walk (hclust2.cpp:107-132):
+    buckets ascend by code, members ascend by id within a bucket;
+    buckets larger than bucket_max are chunked into full rows plus a
+    remainder row (rows with <2 members are dropped — nothing to
+    absorb)."""
+    empty: list = []
     order = np.argsort(codes, kind="stable")
     sc = codes[order]
     sid = active_ids[order]
     if len(sid) == 0:
-        return (np.empty((0, bucket_max), np.int64),
-                np.empty((0, bucket_max), bool))
+        return empty
     grp = np.concatenate([[0], np.cumsum(sc[1:] != sc[:-1])])
     counts = np.bincount(grp)
     keep = counts[grp] >= 2          # singletons cannot absorb anything
     sid, grp = sid[keep], grp[keep]
     if len(sid) == 0:
-        return (np.empty((0, bucket_max), np.int64),
-                np.empty((0, bucket_max), bool))
+        return empty
     _, grp = np.unique(grp, return_inverse=True)
     counts = np.bincount(grp)
-    cap = -(-counts // bucket_max) * bucket_max
-    pad_base = np.concatenate([[0], np.cumsum(cap)])
     gstart = np.concatenate([[0], np.cumsum(counts)])
     rank = np.arange(len(sid)) - gstart[grp]
-    flat = np.full(int(pad_base[-1]), n_sentinel, np.int64)
-    flat[pad_base[grp] + rank] = sid
-    ids = flat.reshape(-1, bucket_max)
-    valid = ids < n_sentinel
-    rows = valid.sum(axis=1) >= 2    # drop length-1 remainder chunks
-    return ids[rows], valid[rows]
+    classes = np.asarray(_class_sizes(bucket_max))
+    full_rows = counts // bucket_max
+    rem = counts - full_rows * bucket_max
+    in_full = rank < full_rows[grp] * bucket_max
+    has_rem = rem >= 2
+    cls = np.zeros(len(counts), np.int64)
+    cls[has_rem] = classes[np.searchsorted(classes, rem[has_rem])]
+    out = []
+    for c in classes:
+        is_widest = c == bucket_max
+        rbuck = np.nonzero(has_rem & (cls == c))[0]
+        nfull = int(full_rows.sum()) if is_widest else 0
+        nrows = nfull + len(rbuck)
+        if nrows == 0:
+            continue
+        ids = np.full((nrows, c), n_sentinel, np.int32)
+        if nfull:
+            m = in_full
+            row_base = np.concatenate([[0], np.cumsum(full_rows)])
+            ids[row_base[grp[m]] + rank[m] // c, rank[m] % c] = sid[m]
+        if len(rbuck):
+            row_of = np.full(len(counts), -1)
+            row_of[rbuck] = nfull + np.arange(len(rbuck))
+            m = (~in_full) & (cls[grp] == c)
+            ids[row_of[grp[m]],
+                rank[m] - full_rows[grp[m]] * bucket_max] = sid[m]
+        out.append((ids, ids < n_sentinel))
+    return out
+
+
+def _slab_geometry(c: int, nrows: int, config: ClusterConfig):
+    """Scan chunk + slab row count for bucket width c: constant
+    (chunk, c, c) distance-matrix memory across classes, slab quantized
+    to powers of two in chunk units so jit shapes stay bounded."""
+    ck = config.bucket_chunk * (config.bucket_max // c) ** 2
+    s_full = ck * max(1, config.slab_elems // (ck * c))
+    units = -(-nrows // ck)
+    s = ck * min(s_full // ck, 1 << max(0, (units - 1).bit_length()))
+    return ck, max(s, ck)
 
 
 # ---------------------------------------------------------------------------
@@ -173,16 +225,15 @@ class ClusterResult:
 
     def clusters(self) -> list[np.ndarray]:
         """Cluster member lists, head first (hclust2.cpp:137-150 order)."""
-        n = self.parent.shape[0]
-        children: dict[int, list[int]] = {}
-        for i, p in enumerate(self.parent):
-            if p >= 0:
-                children.setdefault(int(p), []).append(i)
-        out = []
-        for i in range(n):
-            if self.merged[i] != 2:
-                out.append(np.asarray([i] + children.get(i, []), np.int64))
-        return out
+        heads = np.nonzero(self.merged != 2)[0]
+        child = np.nonzero(self.parent >= 0)[0]
+        par = self.parent[child]
+        order = np.argsort(par, kind="stable")   # ids ascend within head
+        child, par = child[order], par[order]
+        pieces = np.split(child, np.searchsorted(par, heads[1:]))
+        return [np.concatenate([[h], c]) if len(c) else
+                np.asarray([h], np.int64)
+                for h, c in zip(heads, pieces)]
 
 
 def cluster_greedy(kmers: np.ndarray, key: jax.Array,
@@ -202,52 +253,60 @@ def cluster_greedy(kmers: np.ndarray, key: jax.Array,
                                               is_kmers=True)[0])
         active = merged != 2
         active_ids = np.nonzero(active)[0]
-        ids, valid = _bucket_matrix(codes[active], active_ids,
-                                    config.bucket_max, n)
-        if ids.shape[0] == 0:
+        mats = _bucket_class_matrices(codes[active], active_ids,
+                                      config.bucket_max, n)
+        if not mats:
             continue
-        # pad the chunk dimension too: fixed (chunk, bucket_max) shapes
-        nb = ids.shape[0]
-        ck = config.bucket_chunk
-        npad = (-nb) % ck
-        if npad:
-            ids = np.concatenate(
-                [ids, np.full((npad, config.bucket_max), n, np.int64)])
-            valid = np.concatenate(
-                [valid, np.zeros((npad, config.bucket_max), bool)])
         if use_device:
             # buckets within a round are disjoint (each point lands in
-            # exactly one), so elections are independent: ONE device call
-            # scans all bucket chunks and host state updates once per
-            # round — no per-chunk round trips
-            par = np.asarray(_elect_round(
-                km_dev, jnp.asarray(ids, jnp.int32),
-                jnp.asarray(valid), jnp.asarray(merged),
-                jnp.float32(config.radius), ck))
-            # map parent slots back to global ids row-wise
-            rows, cols = np.nonzero(par >= 0)
-            absorbed = ids[rows, cols]
-            absorber = ids[rows, par[rows, cols]]
-            parent[absorbed] = absorber
-            merged[absorbed] = 2
-            merged[absorber] = 1       # "to be the real center" (:122)
+            # exactly one), so elections are independent and the round-
+            # start state snapshot is exact for every bucket.  Dispatch
+            # every slab of every size class first, then harvest — the
+            # transfers overlap the remaining compute.
+            merged_dev = jnp.asarray(merged)
+            pending = []
+            for ids, valid in mats:
+                c = ids.shape[1]
+                ck, s_rows = _slab_geometry(c, ids.shape[0], config)
+                for s in range(0, ids.shape[0], s_rows):
+                    bids = ids[s:s + s_rows]
+                    bval = valid[s:s + s_rows]
+                    npad = s_rows - bids.shape[0]
+                    if npad > 0:
+                        bids = np.concatenate(
+                            [bids, np.full((npad, c), n, np.int32)])
+                        bval = np.concatenate(
+                            [bval, np.zeros((npad, c), bool)])
+                    par_dev = _elect_round(
+                        km_dev, jnp.asarray(bids), jnp.asarray(bval),
+                        merged_dev, jnp.float32(config.radius), ck)
+                    pending.append((bids, par_dev))
+            for bids, par_dev in pending:
+                par = np.asarray(par_dev)
+                # map parent slots back to global ids row-wise
+                rows, cols = np.nonzero(par >= 0)
+                absorbed = bids[rows, cols]
+                absorber = bids[rows, par[rows, cols]]
+                parent[absorbed] = absorber
+                merged[absorbed] = 2
+                merged[absorber] = 1   # "to be the real center" (:122)
         else:
             kmers_pad = np.concatenate([kmers,
                                         np.zeros((1, l), kmers.dtype)])
-            for s in range(0, ids.shape[0], ck):
-                bids = ids[s:s + ck]
-                bval = valid[s:s + ck]
-                bk = kmers_pad[bids]
-                state = np.where(bval, merged[np.minimum(bids, n - 1)], 2)
-                d = np.sqrt(embedding.DISTANCE_SQUARE[
-                    bk[:, :, None, :], bk[:, None, :, :]].sum(-1))
-                par = np.stack([
-                    _elect_reference(d[i], state[i], bval[i], config.radius)
-                    for i in range(d.shape[0])])
-                for i in range(bids.shape[0]):
-                    ssel = par[i] >= 0
-                    absorbed = bids[i][ssel]
-                    absorber = bids[i][par[i][ssel]]
+            state0 = merged.copy()     # round-start snapshot
+            for ids, valid in mats:
+                for i in range(ids.shape[0]):
+                    bids = ids[i]
+                    bval = valid[i]
+                    bk = kmers_pad[bids]
+                    state = np.where(bval,
+                                     state0[np.minimum(bids, n - 1)], 2)
+                    d = np.sqrt(embedding.DISTANCE_SQUARE[
+                        bk[:, None, :], bk[None, :, :]].sum(-1))
+                    par = _elect_reference(d, state, bval, config.radius)
+                    ssel = par >= 0
+                    absorbed = bids[ssel]
+                    absorber = bids[par[ssel]]
                     parent[absorbed] = absorber
                     merged[absorbed] = 2
                     merged[absorber] = 1
@@ -280,4 +339,7 @@ def _elect_round(km_pad_free, ids, valid, merged, radius, chunk: int):
         return None, _elect_device(d, state, bval, radius)
 
     _, par = jax.lax.scan(body, None, (ids_c, valid_c))
-    return par.reshape(nb, -1)
+    # parent slots are < B, so the readback fits a small int (the d2h
+    # link runs ~10MB/s; at IGC scale this is the per-round cost)
+    dt = jnp.int8 if ids.shape[1] <= 127 else jnp.int16
+    return par.reshape(nb, -1).astype(dt)

@@ -54,6 +54,17 @@ def decode(idx: np.ndarray) -> str:
     return out.tobytes().decode()
 
 
+def decode_all(idx: np.ndarray) -> np.ndarray:
+    """(N, L) index matrix -> (N,) array of strings, vectorized
+    (per-row decode() calls cost minutes at IGC scale)."""
+    idx = np.ascontiguousarray(idx)
+    n, l = idx.shape
+    out = np.full(idx.shape, ord("X"), dtype=np.uint8)
+    ok = idx < 20
+    out[ok] = _INDEX_TO_BYTE[idx[ok]]
+    return out.view(f"S{l}").ravel().astype(str)
+
+
 def randomize_unknown(idx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Replace INVALID entries with uniform-random AA indices.
 

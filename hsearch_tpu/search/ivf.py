@@ -231,10 +231,11 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("k_blocks", "max_hits",
                                               "use_pallas",
-                                              "approx_select"))
+                                              "approx_select", "cap_frac"))
 def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
                   r: jax.Array, k_blocks: int, max_hits: int,
-                  use_pallas: bool = False, approx_select: bool = False):
+                  use_pallas: bool = False, approx_select: bool = False,
+                  cap_frac: int = 4):
     """One center block: prune blocks, gather survivors, exact verify.
 
     Returns (packed flat int32 buffer — ops/compact layout with
@@ -288,7 +289,8 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     # returned but transfer lazily — the host touches them only when
     # ``total`` overflows the packed capacity.
     packed = compact.pack_hits(out_ids, out_d2, n,
-                               meta_vecs=(n_hits, n_alive))
+                               meta_vecs=(n_hits, n_alive),
+                               cap_frac=cap_frac)
     return packed, out_ids, out_d2
 
 
@@ -331,7 +333,7 @@ def _index_kmers(index: IVFIndex) -> np.ndarray:
 def search(index: IVFIndex, centers: np.ndarray, radius: float,
            k_blocks: int = 64, max_hits: int = 256,
            center_block: int = 256, retry_overflow: bool = True,
-           stats_out: dict | None = None):
+           stats_out: dict | None = None, pack_cap_frac: int = 4):
     """All (center, kmer) pairs within ``radius`` — exact, block-pruned.
 
     Returns (center_idx, kmer_idx, dist) host arrays, identical contract
@@ -384,7 +386,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         pending.append((s, pad, _search_block(
             index, cblk, jnp.asarray(cemb, jnp.float32),
             jnp.float32(radius), k_blocks, max_hits,
-            use_pallas, approx_select)))
+            use_pallas, approx_select, pack_cap_frac)))
     max_alive = 0
     for s, pad, (packed, ids, d2) in pending:
         real = center_block - pad
@@ -442,7 +444,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             k_blocks=kb2,
             max_hits=2 * max_hits if over_hits else max_hits,
             center_block=cb2, retry_overflow=True,
-            stats_out=sub_stats)
+            stats_out=sub_stats, pack_cap_frac=pack_cap_frac)
         out_c = np.concatenate([out_c[keep], redo_ids[rc]])
         out_k = np.concatenate([out_k[keep], rk])
         out_d = np.concatenate([out_d[keep], rd]).astype(np.float32)
