@@ -156,3 +156,62 @@ def test_centroid_device_matches_numpy_oracle(rng):
             out[i] = first.setdefault(int(v), len(first))
         return out
     np.testing.assert_array_equal(canon(got), canon(label))
+
+
+def test_bucket_class_matrices_partition(rng):
+    """Every active id appears exactly once across all class matrices;
+    widths follow the pow-4 ladder; oversize buckets chunk into full
+    rows + a remainder row; singletons and size-1 remainders drop."""
+    from hsearch_tpu.cluster.greedy import (_bucket_class_matrices,
+                                            _class_sizes, _slab_geometry,
+                                            ClusterConfig)
+    n = 3000
+    # engineered code multiset: singleton, pairs, mid sizes, one mega
+    # bucket of 600 (> bucket_max=256 -> 2 full rows + remainder 88),
+    # and one of 257 (full row + remainder 1 -> dropped)
+    sizes = [1, 2, 2, 3, 5, 17, 64, 65, 600, 257]
+    codes = np.concatenate([np.full(s, i, np.int64)
+                            for i, s in enumerate(sizes)])
+    ids = np.arange(len(codes))
+    mats = _bucket_class_matrices(codes, ids, 256, n)
+    assert all(m.shape[1] in _class_sizes(256) for m, _ in mats)
+    got = np.sort(np.concatenate([m[v] for m, v in mats]))
+    # dropped: the singleton (1) and the size-1 remainder of 257
+    keep = np.ones(len(codes), bool)
+    keep[0] = False                      # the singleton bucket
+    keep[sum(sizes[:9]) + 256:] = False  # 257's remainder member
+    np.testing.assert_array_equal(got, ids[keep])
+    # members of one bucket never share a row with another bucket's
+    code_pad = np.concatenate([codes, [-1]])
+    for m, v in mats:
+        for r in range(m.shape[0]):
+            row = m[r][v[r]]
+            assert len(set(code_pad[row].tolist())) == 1
+    # slab geometry: rows multiple of chunk, bounded shapes
+    cfg = ClusterConfig()
+    for c in _class_sizes(256):
+        ck, s = _slab_geometry(c, 10, cfg)
+        assert s % ck == 0 and s >= ck
+
+
+def test_cluster_greedy_oversize_bucket(rng):
+    """All-identical k-mers (one bucket >> bucket_max) cluster without
+    blowup and every point lands within radius of its head."""
+    km = np.tile(rng.integers(0, 20, (1, 8), dtype=np.int32), (700, 1))
+    cfg = greedy.ClusterConfig(hash_k=8, hash_l=2, w=50.0, radius=20.0,
+                               bucket_max=64)
+    res = greedy.cluster_greedy(km, jax.random.key(3), cfg)
+    clusters = res.clusters()
+    all_ids = np.sort(np.concatenate(clusters))
+    np.testing.assert_array_equal(all_ids, np.arange(700))
+    # identical points: each padded row absorbs into its first member,
+    # so cluster count == ceil(700 / bucket_max) after round 1 merges
+    assert len(clusters) <= -(-700 // 64) + 1
+
+
+def test_decode_all_matches_decode(rng):
+    from hsearch_tpu.core import alphabet
+    km = rng.integers(0, 22, (50, 9)).astype(np.int64)  # incl. INVALID>=20
+    strs = alphabet.decode_all(km)
+    for i in range(50):
+        assert strs[i] == alphabet.decode(km[i])
