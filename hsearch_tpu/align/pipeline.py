@@ -39,6 +39,33 @@ class SearchParams:
     min_length: int = 0               # nMinLen
     cand_max: int = 256               # per-probe candidate cap (device)
     pair_batch: int = 8192            # extension lanes per device call
+    collapse_runs: int = 6            # seed-run collapse tolerance (0=off)
+
+
+def _collapse_diag_runs(qpos, dpos, qpid, dpid, tol: int):
+    """Keep one seed per same-diagonal run.
+
+    Seeds of one (query, subject) pair on the same diagonal whose query
+    positions step by <= tol sit inside one exact-match region: the
+    greedy/x-drop extension from any of them reaches the same HSP, and
+    assembly already dedups identical extents — so extending each is
+    pure waste.  For near-identical family members (~100 overlapping
+    seeds per pair, all on one diagonal) this cuts extension lanes
+    10-20x.  tol <= MER keeps runs within overlapping seed windows.
+    Returns a keep-index into the inputs.  The reference extends every
+    seed and drops contained results afterwards (CalRes,
+    hash_search.cpp:950-1089) — same hit set, done before the work."""
+    diag = qpos - dpos
+    order = np.lexsort((qpos, diag, dpid, qpid))
+    q = qpos[order]
+    qp, dp, dg = qpid[order], dpid[order], diag[order]
+    new_run = np.ones(len(q), bool)
+    if len(q) > 1:
+        same = (qp[1:] == qp[:-1]) & (dp[1:] == dp[:-1]) \
+            & (dg[1:] == dg[:-1])
+        close = (q[1:] - q[:-1]) <= tol
+        new_run[1:] = ~(same & close)
+    return order[new_run]
 
 
 @dataclasses.dataclass
@@ -211,7 +238,14 @@ class ProteinSearcher:
         # drop duplicate (qpos, dpos) pairs from multi-probe overlap
         key = qpos[ok].astype(np.int64) * len(self.seq) + dpos[ok]
         _, first = np.unique(key, return_index=True)
-        return qpos[ok][first], dpos[ok][first]
+        qpos, dpos = qpos[ok][first], dpos[ok][first]
+        if self.params.collapse_runs and len(qpos):
+            dpid2 = np.searchsorted(self.starts, dpos, side="right") - 1
+            keep = _collapse_diag_runs(qpos, dpos,
+                                       np.zeros(len(qpos), np.int64),
+                                       dpid2, self.params.collapse_runs)
+            qpos, dpos = qpos[keep], dpos[keep]
+        return qpos, dpos
 
     def _extend(self, qseq: np.ndarray, qpos: np.ndarray, dpos: np.ndarray):
         """Batched device extension; returns host dict of result arrays."""
@@ -469,6 +503,13 @@ class ProteinSearcher:
         pkey = qpos.astype(np.int64) * max(s_total, 1) + dpos
         _, first = np.unique(pkey, return_index=True)
         qpos, dpos = qpos[first], dpos[first]
+        if self.params.collapse_runs and len(qpos):
+            dpid2 = np.searchsorted(self.starts, dpos, side="right") - 1
+            qpid2 = np.searchsorted(self.starts, qpos, side="right") - 1
+            keep = _collapse_diag_runs(qpos, dpos, qpid2, dpid2,
+                                       self.params.collapse_runs)
+            keep.sort()                # keep qpos ascending for slicing
+            qpos, dpos = qpos[keep], dpos[keep]
         query_local = np.searchsorted(self.starts, qpos,
                                       side="right") - 1
 
