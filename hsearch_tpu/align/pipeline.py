@@ -358,13 +358,11 @@ class ProteinSearcher:
         # aligned strings only for the survivors
         for h in out:
             lo = int(self.starts[self._local_of[h.subject]])
-            q_str = alphabet.decode(qseq[h.q_beg - 1:h.q_end])
-            d_str = alphabet.decode(
-                self.seq[lo + h.d_beg - 1:lo + h.d_end])
-            h.q_aln, h.d_aln = q_str, d_str
-            h.info = "".join(
-                a if a == b_ else ("+" if _pos_score(a, b_) > 0 else " ")
-                for a, b_ in zip(q_str, d_str))
+            qi = np.asarray(qseq[h.q_beg - 1:h.q_end])
+            di = np.asarray(self.seq[lo + h.d_beg - 1:lo + h.d_end])
+            h.q_aln = alphabet.decode(qi)
+            h.d_aln = alphabet.decode(di)
+            h.info = _info_from_ints(qi, di)
         return out
 
     def _sum_evalue(self, group: list[Hit],
@@ -698,6 +696,29 @@ def _pos_score(a: str, b: str) -> int:
     if ia >= 20 or ib >= 20:
         return extend.NEGSCORE
     return int(blosum.BLOSUM62[ia, ib])
+
+
+_POS62 = None
+
+
+def _info_from_ints(qi: np.ndarray, di: np.ndarray) -> str:
+    """Vectorized match line: residue letter on identity, '+' on a
+    positive BLOSUM62 score, ' ' otherwise (ungapped hits only — a
+    per-char Python join was 15 s of a 92 s 1e4-protein run)."""
+    global _POS62
+    if _POS62 is None:
+        from ..core import blosum
+        _POS62 = np.zeros((21, 21), bool)
+        _POS62[:20, :20] = blosum.BLOSUM62 > 0
+    qi = np.minimum(qi, 20)
+    di = np.minimum(di, 20)
+    eq = qi == di
+    chars = np.where(_POS62[qi, di], ord("+"), ord(" ")).astype(np.uint8)
+    letters = np.full(len(qi), ord("X"), np.uint8)
+    ok = qi < 20
+    letters[ok] = alphabet._INDEX_TO_BYTE[qi[ok]]
+    chars[eq] = letters[eq]
+    return chars.tobytes().decode()
 
 
 def write_m8(path_or_file, hits: list[Hit], names_q, names_d) -> None:

@@ -78,8 +78,11 @@ def load_index(path: str):
             block_radius=jnp.asarray(z["block_radius"]),
             n_points=int(meta["n_points"]))
     if kind == "seed":
+        seq = np.asarray(z["seq"])
+        starts = np.asarray(z["starts"])
         return si.SeedIndex(
             sorted_codes=jnp.asarray(z["sorted_codes"]),
             positions=jnp.asarray(z["positions"]),
-            seq=jnp.asarray(z["seq"]), starts=jnp.asarray(z["starts"]))
+            seq=jnp.asarray(seq), starts=jnp.asarray(starts),
+            g10_at=jnp.asarray(si.g10_table(seq, starts)))
     raise ValueError(f"unknown index kind {kind!r} in {path}")
