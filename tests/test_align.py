@@ -228,3 +228,50 @@ def test_search_all_batched_equals_per_query(rng):
                      h.d_end, h.score)
     assert sorted(map(key, a)) == sorted(map(key, b))
     assert len(a) > 4        # self-hits plus homologs found
+
+
+def test_g10_table_matches_searchsorted_path(rng):
+    """Precomputed 4th-suffix-group table == per-candidate derivation."""
+    import numpy as np
+    from hsearch_tpu.align import seed_index
+    lens = rng.integers(3, 30, 20)
+    seq = rng.integers(0, 21, int(lens.sum())).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    tab = seed_index.g10_table(seq, starts)
+    g = seed_index._GROUP21[np.minimum(seq, 20)]
+    off = seed_index.MER + seed_index.NARROW
+    for i in range(len(seq)):
+        pid = np.searchsorted(starts, i, side="right") - 1
+        if i + off < starts[pid + 1]:
+            assert tab[i] == g[i + off], i
+        else:
+            assert tab[i] == seed_index._G10_PASS, i
+
+
+def test_collapse_diag_runs():
+    import numpy as np
+    from hsearch_tpu.align.pipeline import _collapse_diag_runs
+    # same (qpid, dpid, diag): run 10,13,16 collapses to 10; 30 is a new
+    # run; a different diagonal and a different subject both survive
+    qpos = np.array([10, 13, 16, 30, 12, 10])
+    dpos = np.array([110, 113, 116, 130, 152, 310])
+    qpid = np.zeros(6, np.int64)
+    dpid = np.array([1, 1, 1, 1, 1, 2])
+    keep = _collapse_diag_runs(qpos, dpos, qpid, dpid, tol=6)
+    kept = set(zip(qpos[keep].tolist(), dpos[keep].tolist()))
+    assert kept == {(10, 110), (30, 130), (12, 152), (10, 310)}
+
+
+def test_info_from_ints_matches_char_loop(rng):
+    import numpy as np
+    from hsearch_tpu.align.pipeline import _info_from_ints, _pos_score
+    from hsearch_tpu.core import alphabet
+    qi = rng.integers(0, 21, 200).astype(np.int64)
+    di = qi.copy()
+    flip = rng.random(200) < 0.4
+    di[flip] = rng.integers(0, 21, int(flip.sum()))
+    got = _info_from_ints(qi, di)
+    qs, ds = alphabet.decode(qi), alphabet.decode(di)
+    want = "".join(a if a == b else ("+" if _pos_score(a, b) > 0 else " ")
+                   for a, b in zip(qs, ds))
+    assert got == want
