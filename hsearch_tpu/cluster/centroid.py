@@ -66,16 +66,20 @@ def _cluster_rounds(km: jax.Array, a_all: jax.Array, b_all: jax.Array,
     def embed(blk):
         return jnp.take(coords, blk, axis=0).reshape(blk.shape[0], d)
 
-    def radii_of(label, cents):
-        """sqrt(max member distance^2 to cents[label]) per cluster slot."""
+    def radii_of(label, sums, counts):
+        """sqrt(max member distance^2 to its cluster centroid) per slot.
+        Centroid rows are gathered per chunk and divided there — the
+        full (N, D) centroid matrix never materializes."""
         def body(acc, args):
             blk, pi, pv = args
             emb = embed(blk)
-            diff = emb - jnp.take(cents, jnp.take(label, pi), axis=0)
+            lab = jnp.take(label, pi)
+            cent = jnp.take(sums, lab, axis=0) \
+                / jnp.maximum(jnp.take(counts, lab), 1.0)[:, None]
+            diff = emb - cent
             d2 = jnp.sum(diff * diff, axis=-1)
             d2 = jnp.where(pv, d2, -jnp.inf)
-            upd = jax.ops.segment_max(d2, jnp.take(label, pi),
-                                      num_segments=n)
+            upd = jax.ops.segment_max(d2, lab, num_segments=n)
             return jnp.maximum(acc, upd), None
         acc0 = jnp.full((n,), -jnp.inf, jnp.float32)
         acc, _ = jax.lax.scan(body, acc0, (kmp, pidx, pvalid))
@@ -85,10 +89,14 @@ def _cluster_rounds(km: jax.Array, a_all: jax.Array, b_all: jax.Array,
         label, sums, counts, radii = carry
         a_r, b_r = xs                                   # (D, K), (K,)
         alive = counts > 0
-        cents = sums / jnp.maximum(counts, 1.0)[:, None]
-        # hash the live centroids (lsh.hpp:44-49, one GEMM)
-        proj = jnp.dot(cents, a_r,
-                       preferred_element_type=jnp.float32) + b_r[None, :]
+        cdiv = jnp.maximum(counts, 1.0)
+        # hash the live centroids (lsh.hpp:44-49) straight from the sums:
+        # (sums/c) @ a == (sums @ a)/c — the (N, D) cents matrix never
+        # materializes (it is 2.7 GB at 2^23; the uncompressed round
+        # body held six such temporaries and could not fit one v5e)
+        proj = jnp.dot(sums, a_r,
+                       preferred_element_type=jnp.float32) / cdiv[:, None] \
+            + b_r[None, :]
         idx = jnp.floor(proj / w).astype(jnp.int32)
         code = segment.pack_codes(idx, pack_bits)
         code = jnp.where(alive, code, imax)
@@ -99,13 +107,24 @@ def _cluster_rounds(km: jax.Array, a_all: jax.Array, b_all: jax.Array,
             [jnp.ones((1,), bool), sc[1:] != sc[:-1]])
         bidx = jnp.cumsum(newb.astype(jnp.int32)) - 1
         bucket = jnp.zeros((n,), jnp.int32).at[order].set(bidx)
-        # weighted bucket centroid over underlying points (hclust.cpp:190)
-        bsum = jax.ops.segment_sum(cents * counts[:, None], bucket,
-                                   num_segments=n)
+        # weighted bucket centroid over underlying points (hclust.cpp:190):
+        # cents * counts == sums, so the weighted sum is just the sums
+        bsum = jax.ops.segment_sum(sums, bucket, num_segments=n)
         bcnt = jax.ops.segment_sum(counts, bucket, num_segments=n)
         bc = bsum / jnp.maximum(bcnt, 1.0)[:, None]
-        diff = cents - jnp.take(bc, bucket, axis=0)
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        # ||cents - bc[bucket]|| chunked over cluster slots (no (N, D)
+        # difference temporary)
+        def dist_body(_, args):
+            srows, crows, brows = args
+            diff = srows / jnp.maximum(crows, 1.0)[:, None] \
+                - jnp.take(bc, brows, axis=0)
+            return None, jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        _, dist = jax.lax.scan(
+            dist_body, None,
+            (jnp.pad(sums, ((0, pad), (0, 0))).reshape(-1, chunk, d),
+             jnp.pad(counts, (0, pad)).reshape(-1, chunk),
+             jnp.pad(bucket, (0, pad)).reshape(-1, chunk)))
+        dist = dist.reshape(-1)[:n]
         keep = (dist + radii > half_r) | ~alive         # hclust.cpp:205
         ids = jnp.arange(n, dtype=jnp.int32)
         # merged clusters adopt the smallest merged id in their bucket
@@ -115,8 +134,7 @@ def _cluster_rounds(km: jax.Array, a_all: jax.Array, b_all: jax.Array,
         label = jnp.take(newid, label)
         sums = jax.ops.segment_sum(sums, newid, num_segments=n)
         counts = jax.ops.segment_sum(counts, newid, num_segments=n)
-        cents2 = sums / jnp.maximum(counts, 1.0)[:, None]
-        radii = radii_of(label, cents2)
+        radii = radii_of(label, sums, counts)
         return (label, sums, counts, radii), None
 
     # initial state: singletons
