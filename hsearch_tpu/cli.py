@@ -110,7 +110,8 @@ def cmd_motif_search(args):
                                 max_hits=args.max_hits,
                                 center_block=args.center_block,
                                 retry_overflow=not args.no_retry,
-                                stats_out=stats if args.no_retry else None)
+                                stats_out=stats if args.no_retry else None,
+                                approx_select=args.approx_select or None)
         if args.no_retry and (stats.get("over_blocks")
                               or stats.get("over_hits")):
             print(f"[--no-retry: {stats.get('over_blocks', 0)} centers "
@@ -501,6 +502,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--block-size", type=int, default=32)
     q.add_argument("--k-blocks", type=int, default=64)
     q.add_argument("--center-block", type=int, default=256)
+    q.add_argument("--approx-select", action="store_true",
+                   help="ivf engine only: approximate surviving-block"
+                   " top-k (3.2x q/s at 2^23 where the 429k-block select"
+                   " dominates; voids the exactness guarantee — gate on"
+                   " measured recall)")
     q.add_argument("--no-retry", action="store_true",
                    help="ivf engine only: skip the lossless overflow retry"
                    " (fixed k-blocks budget; recall-measured operating"

@@ -333,7 +333,8 @@ def _index_kmers(index: IVFIndex) -> np.ndarray:
 def search(index: IVFIndex, centers: np.ndarray, radius: float,
            k_blocks: int = 64, max_hits: int = 256,
            center_block: int = 256, retry_overflow: bool = True,
-           stats_out: dict | None = None, pack_cap_frac: int = 4):
+           stats_out: dict | None = None, pack_cap_frac: int = 4,
+           approx_select: bool | None = None):
     """All (center, kmer) pairs within ``radius`` — exact, block-pruned.
 
     Returns (center_idx, kmer_idx, dist) host arrays, identical contract
@@ -359,6 +360,14 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     per-call warnings) so callers can escalate on evidence.
     With ``retry_overflow=False`` and no ``stats_out`` a warning
     reports both overflows.
+
+    ``approx_select=True`` (or HSEARCH_APPROX_SELECT=1) uses
+    approx_max_k for the surviving-block selection: ~3.2x q/s at 2^23
+    where the 429k-block top-k dominates, but a surviving block can be
+    missed ~5% of the time even when k_blocks fits — the exactness
+    guarantee (and the lossless-retry contract) no longer holds, so
+    pair it with a measured-recall gate.  At 2^20 (54k blocks) it is
+    a LOSS; leave it off there.
     """
     c_total = centers.shape[0]
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
@@ -367,7 +376,15 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     else:
         cemb_all = np.asarray(centers, np.float32)
     n = index.n_points
-    use_pallas, approx_select = _env_flags()
+    use_pallas, env_approx = _env_flags()
+    if approx_select is None:
+        # approx block-select trades the exactness-when-k_blocks-fits
+        # guarantee for TPU top-k speed; its economics flip with the
+        # select domain (measured, c=1024/kb-at-recall-gate): 2^20 /
+        # 54k blocks -> approx LOSES (6.7k vs 8.3k q/s); 2^23 / 429k
+        # blocks -> approx WINS 3.2x (5735 vs 1806 q/s, recall 0.9928
+        # -> 0.9925).  Opt in per call or via HSEARCH_APPROX_SELECT=1.
+        approx_select = env_approx
     ci, ki, dd = [], [], []
     redo: list[np.ndarray] = []      # center ids that lost the guarantee
     over_blocks = over_hits = 0
@@ -444,7 +461,8 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             k_blocks=kb2,
             max_hits=2 * max_hits if over_hits else max_hits,
             center_block=cb2, retry_overflow=True,
-            stats_out=sub_stats, pack_cap_frac=pack_cap_frac)
+            stats_out=sub_stats, pack_cap_frac=pack_cap_frac,
+            approx_select=approx_select)
         out_c = np.concatenate([out_c[keep], redo_ids[rc]])
         out_k = np.concatenate([out_k[keep], rk])
         out_d = np.concatenate([out_d[keep], rd]).astype(np.float32)
