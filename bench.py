@@ -88,20 +88,19 @@ def main():
     # reloading is a couple of device_puts.  db.tobytes() hash guards
     # against stale workloads.
     import hashlib
-    fp = hashlib.sha256(db.tobytes()).hexdigest()[:16]
-    cache_path = f"/tmp/hsearch_bench_index_n{n}_bs32_{fp}.npz"
+    import inspect
+    from hsearch_tpu.utils import checkpoint as ckpt
+    fp = hashlib.sha256(db.tobytes()).hexdigest()[:12]
+    # key includes the builder's source so a stale index from older
+    # build code can never masquerade as current measurements
+    ver = hashlib.sha256(
+        inspect.getsource(ivf.build_index).encode()).hexdigest()[:8]
+    cache_path = f"/tmp/hsearch_bench_index_n{n}_bs32_{fp}_{ver}.npz"
     t0 = time.perf_counter()
     index = None
     if os.path.exists(cache_path):
         try:
-            with np.load(cache_path) as z:
-                import jax.numpy as jnp
-                index = ivf.IVFIndex(
-                    db_sorted=jnp.asarray(z["db_sorted"]),
-                    order=jnp.asarray(z["order"]),
-                    block_centroid=jnp.asarray(z["block_centroid"]),
-                    block_radius=jnp.asarray(z["block_radius"]),
-                    n_points=int(z["n_points"]))
+            index = ckpt.load_index(cache_path)
             print(f"# index reloaded from {cache_path}",
                   file=sys.stderr, flush=True)
         except Exception as e:                      # corrupt -> rebuild
@@ -111,11 +110,7 @@ def main():
     if index is None:
         index = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
         try:
-            np.savez(cache_path, db_sorted=np.asarray(index.db_sorted),
-                     order=np.asarray(index.order),
-                     block_centroid=np.asarray(index.block_centroid),
-                     block_radius=np.asarray(index.block_radius),
-                     n_points=index.n_points)
+            ckpt.save_index(cache_path, index)
         except Exception:
             pass
     jax.block_until_ready(index.block_centroid)

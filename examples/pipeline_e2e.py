@@ -69,8 +69,13 @@ def run(stage, cmd, times, env=None):
 
 
 def main():
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    unknown = [f for f in flags if f != "--tpu"]
+    if unknown:
+        raise SystemExit(f"unknown flag(s) {unknown}; only --tpu is "
+                         "supported (see module docstring)")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    use_tpu = "--tpu" in sys.argv
+    use_tpu = "--tpu" in flags
     n_genes = int(args[0]) if args else 20000
     outdir = args[1] if len(args) > 1 else "/tmp/hsearch_pipeline"
     cpu = {"HSEARCH_PLATFORM": "cpu"}

@@ -494,28 +494,27 @@ class ProteinSearcher:
         qpos = np.concatenate(all_q)
         dpos = np.concatenate(all_d)
         # subjects need the full 10-residue seed (hash_search.cpp:538-540)
-        spid = np.searchsorted(self.starts, dpos, side="right") - 1
-        ok = self.starts[spid + 1] - dpos >= seed_index.SEED_LEN
-        qpos, dpos = qpos[ok], dpos[ok]
+        dpid = np.searchsorted(self.starts, dpos, side="right") - 1
+        ok = self.starts[dpid + 1] - dpos >= seed_index.SEED_LEN
+        qpos, dpos, dpid = qpos[ok], dpos[ok], dpid[ok]
         # dedup multiprobe/duplicate pairs
         pkey = qpos.astype(np.int64) * max(s_total, 1) + dpos
         _, first = np.unique(pkey, return_index=True)
-        qpos, dpos = qpos[first], dpos[first]
+        qpos, dpos, dpid = qpos[first], dpos[first], dpid[first]
+        # one pid derivation per side, filtered along with the pairs
+        # (this function previously re-ran the same searchsorted 3x)
+        qpid = np.searchsorted(self.starts, qpos, side="right") - 1
         if self.params.collapse_runs and len(qpos):
-            dpid2 = np.searchsorted(self.starts, dpos, side="right") - 1
-            qpid2 = np.searchsorted(self.starts, qpos, side="right") - 1
-            keep = _collapse_diag_runs(qpos, dpos, qpid2, dpid2,
+            keep = _collapse_diag_runs(qpos, dpos, qpid, dpid,
                                        self.params.collapse_runs)
             keep.sort()                # keep qpos ascending for slicing
             qpos, dpos = qpos[keep], dpos[keep]
-        query_local = np.searchsorted(self.starts, qpos,
-                                      side="right") - 1
+            qpid, dpid = qpid[keep], dpid[keep]
+        query_local = qpid
 
         # 2. one batched extension stream over the shared array
         p = self.params
         drop = jnp.int32(int(self.cutoffs.ungap_ext_drop))
-        qpid = np.searchsorted(self.starts, qpos, side="right") - 1
-        dpid = np.searchsorted(self.starts, dpos, side="right") - 1
         qlo, qhi = self.starts[qpid], self.starts[qpid + 1]
         dlo, dhi = self.starts[dpid], self.starts[dpid + 1]
         sdev = self.index.seq

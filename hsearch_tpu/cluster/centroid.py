@@ -89,14 +89,23 @@ def _cluster_rounds(km: jax.Array, a_all: jax.Array, b_all: jax.Array,
         label, sums, counts, radii = carry
         a_r, b_r = xs                                   # (D, K), (K,)
         alive = counts > 0
-        cdiv = jnp.maximum(counts, 1.0)
-        # hash the live centroids (lsh.hpp:44-49) straight from the sums:
-        # (sums/c) @ a == (sums @ a)/c — the (N, D) cents matrix never
-        # materializes (it is 2.7 GB at 2^23; the uncompressed round
-        # body held six such temporaries and could not fit one v5e)
-        proj = jnp.dot(sums, a_r,
-                       preferred_element_type=jnp.float32) / cdiv[:, None] \
-            + b_r[None, :]
+        # hash the live centroids (lsh.hpp:44-49): centroid rows are
+        # formed per chunk and projected there — the (N, D) cents matrix
+        # never materializes (2.7 GB at 2^23; the uncompressed round
+        # body held six such temporaries and could not fit one v5e).
+        # Divide-before-dot keeps the float semantics of cents @ a so
+        # floor(proj/w) bucket codes stay bit-equal to the numpy oracle
+        # ((sums @ a)/c reassociates and can flip boundary codes).
+        def proj_body(_, args):
+            srows, crows = args
+            cent = srows / jnp.maximum(crows, 1.0)[:, None]
+            return None, jnp.dot(cent, a_r,
+                                 preferred_element_type=jnp.float32)
+        _, proj = jax.lax.scan(
+            proj_body, None,
+            (jnp.pad(sums, ((0, pad), (0, 0))).reshape(-1, chunk, d),
+             jnp.pad(counts, (0, pad)).reshape(-1, chunk)))
+        proj = proj.reshape(-1, proj.shape[-1])[:n] + b_r[None, :]
         idx = jnp.floor(proj / w).astype(jnp.int32)
         code = segment.pack_codes(idx, pack_bits)
         code = jnp.where(alive, code, imax)

@@ -205,9 +205,12 @@ def _bucket_class_matrices(codes: np.ndarray, active_ids: np.ndarray,
 
 def _slab_geometry(c: int, nrows: int, config: ClusterConfig):
     """Scan chunk + slab row count for bucket width c: constant
-    (chunk, c, c) distance-matrix memory across classes, slab quantized
-    to powers of two in chunk units so jit shapes stay bounded."""
+    (chunk, c, c) distance-matrix memory across classes, chunk and slab
+    quantized to powers of two so jit shapes stay bounded (~log^2 many)
+    while a sparse class costs only ~2x its real rows, not a full
+    slab of sentinel padding."""
     ck = config.bucket_chunk * (config.bucket_max // c) ** 2
+    ck = min(ck, 1 << max(0, (max(nrows, 1) - 1).bit_length()))
     s_full = ck * max(1, config.slab_elems // (ck * c))
     units = -(-nrows // ck)
     s = ck * min(s_full // ck, 1 << max(0, (units - 1).bit_length()))

@@ -40,11 +40,17 @@ def save_index(path: str, index) -> None:
             block_centroid=np.asarray(index.block_centroid),
             block_radius=np.asarray(index.block_radius))
     elif isinstance(index, si.SeedIndex):
+        extra = {}
+        if index.group_starts is not None:
+            # without this a round-tripped group-partitioned index would
+            # silently probe across group boundaries (superset hit sets)
+            extra["group_starts"] = np.asarray(index.group_starts)
         np.savez_compressed(
             path, __kind__="seed", meta=json.dumps({}),
             sorted_codes=np.asarray(index.sorted_codes),
             positions=np.asarray(index.positions),
-            seq=np.asarray(index.seq), starts=np.asarray(index.starts))
+            seq=np.asarray(index.seq), starts=np.asarray(index.starts),
+            **extra)
     else:
         raise TypeError(f"unknown index type {type(index)}")
 
@@ -80,9 +86,12 @@ def load_index(path: str):
     if kind == "seed":
         seq = np.asarray(z["seq"])
         starts = np.asarray(z["starts"])
+        gs = jnp.asarray(z["group_starts"]) if "group_starts" in z \
+            else None
         return si.SeedIndex(
             sorted_codes=jnp.asarray(z["sorted_codes"]),
             positions=jnp.asarray(z["positions"]),
             seq=jnp.asarray(seq), starts=jnp.asarray(starts),
+            group_starts=gs,
             g10_at=jnp.asarray(si.g10_table(seq, starts)))
     raise ValueError(f"unknown index kind {kind!r} in {path}")

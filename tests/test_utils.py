@@ -70,3 +70,23 @@ def test_stats(rng):
     iidx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
     s2 = stats.index_stats(iidx)
     assert s2["kind"] == "ivf" and 0 <= s2["padding_fraction"] < 1
+
+
+def test_seed_checkpoint_preserves_groups(tmp_path, rng):
+    """A round-tripped group-partitioned SeedIndex keeps group bounds
+    (dropping them silently widened probes to the whole DB)."""
+    import numpy as np
+    from hsearch_tpu.utils import checkpoint
+    lens = rng.integers(12, 40, 12)
+    seq = rng.integers(0, 20, int(lens.sum())).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    groups = np.repeat(np.arange(3), 4)
+    idx = seed_index.build_index(seq, starts, protein_groups=groups)
+    p = str(tmp_path / "seed.npz")
+    checkpoint.save_index(p, idx)
+    idx2 = checkpoint.load_index(p)
+    assert idx2.group_starts is not None
+    np.testing.assert_array_equal(np.asarray(idx.group_starts),
+                                  np.asarray(idx2.group_starts))
+    np.testing.assert_array_equal(np.asarray(idx.g10_at),
+                                  np.asarray(idx2.g10_at))
