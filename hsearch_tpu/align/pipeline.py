@@ -365,6 +365,113 @@ class ProteinSearcher:
             h.info = _info_from_ints(qi, di)
         return out
 
+    def _assemble_all(self, query_local: np.ndarray, res, dpid):
+        """Batched CalRes over every query's pairs at once.
+
+        The gates, e-values, extent dedup, and rank orders are one
+        vector pass (the per-query _assemble re-ran the same small ops
+        ~120k times at 3e4 proteins, ~25% of cluster_proteins); Hit
+        construction, SumEvalue, and the aligned strings stay per
+        query.  λ/K/gap-decay are constants of the gapped parameter
+        set, so only the per-query effective lengths (e_query_len,
+        e_db_len) vary — gathered per pair below.  Kept behaviorally
+        identical to _assemble: tests assert batched == per-query."""
+        import math as _math
+        cut = self.cutoffs
+        p = self.params
+        keep = (res["gate_score"] >= cut.ungap_ext_cut) & \
+               (res["gate_match"] >= cut.min_match_for_expect)
+        idx = np.nonzero(keep)[0]
+        if idx.size == 0:
+            return []
+        ql = query_local[idx]
+        score = np.asarray(res["score"])[idx].astype(np.int64)
+        qlen = self.starts[1:] - self.starts[:-1]
+        nloc = len(self.ids)
+        eq = np.zeros(nloc)
+        ed = np.zeros(nloc)
+        stats: dict[int, blast_stat.BlastStat] = {}
+        for u in np.unique(ql):
+            st = self.stat_for_local(int(u)) if self.groups is not None \
+                else self.stat
+            st.set_query(int(qlen[u]))
+            eq[u], ed[u] = st.e_query_len, st.e_db_len
+            stats[int(u)] = st
+        st0 = self.stat
+        ev = st0.K * ed[ql] * eq[ql] \
+            * np.exp(-st0.L * score.astype(np.float64)) \
+            / (1.0 - st0.gap_decay_rate)
+        ok = ~((score < 30)
+               & (ev > p.evalue_threshold))        # SUMHSP gate (:971)
+        idx, ql, score, ev = idx[ok], ql[ok], score[ok], ev[ok]
+        if idx.size == 0:
+            return []
+        qb = np.asarray(res["q_beg"])[idx].astype(np.int64) \
+            - self.starts[ql]
+        qe = np.asarray(res["q_end"])[idx].astype(np.int64) \
+            - self.starts[ql]
+        dbg = np.asarray(res["d_beg"])[idx].astype(np.int64)
+        de = np.asarray(res["d_end"])[idx].astype(np.int64)
+        sj = np.asarray(dpid)[idx].astype(np.int64)
+        match = np.asarray(res["match"])[idx].astype(np.int64)
+        # dedup identical (query, subject, extents), lowest e-value first
+        order = np.lexsort((ev, de, dbg, qe, qb, sj, ql))
+        kk = np.stack([ql, sj, qb, qe, dbg, de], axis=1)[order]
+        first = np.concatenate([[True], (kk[1:] != kk[:-1]).any(axis=1)])
+        sel = order[first]
+        # final walk order: query, then subject, then ascending e-value
+        # (the reference's per-subject best-first rule)
+        o2 = sel[np.lexsort((ev[sel], sj[sel], ql[sel]))]
+        ql, sj, score, ev = ql[o2], sj[o2], score[o2], ev[o2]
+        qb, qe, dbg, de, match = qb[o2], qe[o2], dbg[o2], de[o2], match[o2]
+        bits = (st0.L * score.astype(np.float64) - st0.logK) \
+            / _math.log(2)
+        aln_len = qe - qb
+        dlo = self.starts[sj]
+        out: list[Hit] = []
+        uq, firstq = np.unique(ql, return_index=True)
+        boundsq = np.append(firstq, len(ql))
+        for t, u in enumerate(uq):
+            a, b_ = int(boundsq[t]), int(boundsq[t + 1])
+            gid = int(self.ids[u])
+            hits = [Hit(query=gid, subject=int(self.ids[s_]),
+                        score=int(sc_), bits=float(bb_), evalue=float(e_),
+                        identity=m_ * 100.0 / max(al_, 1),
+                        aln_len=int(al_), mismatch=int(al_ - m_),
+                        gap_open=0, q_beg=int(q0_) + 1, q_end=int(q1_),
+                        d_beg=int(d0_ - l_) + 1, d_end=int(d1_ - l_))
+                    for s_, sc_, bb_, e_, m_, al_, q0_, q1_, d0_, d1_, l_
+                    in zip(sj[a:b_], score[a:b_], bits[a:b_], ev[a:b_],
+                           match[a:b_], aln_len[a:b_], qb[a:b_], qe[a:b_],
+                           dbg[a:b_], de[a:b_], dlo[a:b_])]
+            st = stats[int(u)]
+            st.set_query(int(qlen[u]))
+            q_out: list[Hit] = []
+            i = 0
+            while i < len(hits):
+                j = i
+                while j < len(hits) and hits[j].subject == hits[i].subject:
+                    j += 1
+                group = hits[i:j]
+                if len(group) > 1:
+                    group = self._sum_evalue(group, st)
+                q_out.extend(group)
+                i = j
+            q_out = [h for h in q_out if h.evalue <= p.evalue_threshold]
+            q_out.sort(key=lambda h: h.evalue)
+            q_out = q_out[:max(p.max_m8_per_query, p.max_aln_per_query)]
+            lo_q = int(self.starts[u])
+            qseq = self.seq[lo_q:int(self.starts[u + 1])]
+            for h in q_out:
+                lo = int(self.starts[self._local_of[h.subject]])
+                qi = np.asarray(qseq[h.q_beg - 1:h.q_end])
+                di = np.asarray(self.seq[lo + h.d_beg - 1:lo + h.d_end])
+                h.q_aln = alphabet.decode(qi)
+                h.d_aln = alphabet.decode(di)
+                h.info = _info_from_ints(qi, di)
+            out.extend(q_out)
+        return out
+
     def _sum_evalue(self, group: list[Hit],
                     st: blast_stat.BlastStat) -> list[Hit]:
         """SumEvalue (hash_search.cpp:1199-1273): combine non-overlapping
@@ -537,29 +644,10 @@ class ProteinSearcher:
                 res[k].append(np.asarray(r[k])[:n_real])
         res = {k: np.concatenate(v) for k, v in res.items()}
 
-        # 3. per-query assembly in global coordinates -> local hit fields.
-        # Group pairs by query with ONE argsort + contiguous slices — a
-        # boolean mask per query is O(Q*P) and dominated the profile
-        # (53 of 176 s at 4k proteins)
-        out = []
-        qorder = np.argsort(query_local, kind="stable")
-        res = {k: res[k][qorder] for k in res}
-        dpid = dpid[qorder]
-        query_local = query_local[qorder]
-        uniq, first = np.unique(query_local, return_index=True)
-        bounds = np.append(first, len(query_local))
-        for u, local in enumerate(uniq):
-            sl = slice(bounds[u], bounds[u + 1])
-            lo = int(self.starts[local])
-            sub = {k: res[k][sl] for k in res}
-            for k in ("q_beg", "q_end"):
-                sub[k] = sub[k] - lo
-            qseq = self.seq[lo:int(self.starts[local + 1])]
-            stat = self.stat_for_local(int(local)) \
-                if self.groups is not None else None
-            out.extend(self._assemble(int(self.ids[local]), qseq, sub,
-                                      dpid[sl], stat=stat))
-        return out
+        # 3. batched assembly: gates, e-values, dedup, and rank orders
+        # in one vector pass over every query's pairs (_assemble_all);
+        # only Hit construction / SumEvalue / strings stay per query
+        return self._assemble_all(query_local, res, dpid)
 
 
 def refine_gapped(searcher: ProteinSearcher, qseq: np.ndarray,
