@@ -331,9 +331,11 @@ def cmd_gen_kmers(args):
     else:
         db = hio.read_fasta(args.database, seed=None)
         kmers, counts = dataprep.unique_kmers(db, args.kmer_len)
+    # one vectorized decode of the whole matrix: a per-row decode() was
+    # 130 of gen-kmers' 197 s at 9.9M k-mers
+    strs = alphabet.decode_all(np.asarray(kmers))
     with open(args.output, "w") as f:
-        for km, c in zip(kmers, counts):
-            f.write(f"{alphabet.decode(km)}\t{c}\n")
+        f.writelines(f"{s}\t{c}\n" for s, c in zip(strs, counts))
     print(f"[{len(kmers)} unique {args.kmer_len}-mers -> {args.output}]",
           file=sys.stderr)
 
