@@ -18,6 +18,9 @@ if os.environ.get("HSEARCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["HSEARCH_PLATFORM"])
 import jax
 
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))       # runnable without PYTHONPATH
 from hsearch_tpu.core import alphabet, io as hio
 from hsearch_tpu.cluster import greedy, pcluster, postprocess
 from hsearch_tpu.search import evaluate, exact, ivf, motif
