@@ -1,6 +1,6 @@
 """Worked example: the full hsearch_tpu flow on a small synthetic corpus.
 
-Run:  PYTHONPATH=. python examples/quickstart.py     (CPU or TPU)
+Run:  python examples/quickstart.py     (CPU or TPU)
 
 Covers: FASTA -> ProteinDB -> k-mers -> three search engines (exact
 oracle, multiprobe LSH, block-pruned IVF) -> recall evaluation -> motif

@@ -339,7 +339,15 @@ class ProteinSearcher:
                 in zip(sj[sel], score[sel], bits, ev[sel], match[sel],
                        aln_len, qb[sel], qe[sel], dbg[sel], de[sel], dlo)]
         hits.sort(key=lambda h: (h.subject, h.evalue))
-        # per-subject sum statistics over non-overlapping HSPs (:1199-1273)
+        return self._finalize_query_hits(hits, st, qseq)
+
+    def _finalize_query_hits(self, hits: list[Hit],
+                             st: blast_stat.BlastStat,
+                             qseq: np.ndarray) -> list[Hit]:
+        """Per-subject SumEvalue walk (:1199-1273), threshold, e-value
+        ranking, truncation, and aligned strings for ONE query's
+        (subject, evalue)-sorted hits — shared by _assemble and
+        _assemble_all so the two paths cannot drift."""
         out: list[Hit] = []
         i = 0
         while i < len(hits):
@@ -376,7 +384,6 @@ class ProteinSearcher:
         set, so only the per-query effective lengths (e_query_len,
         e_db_len) vary — gathered per pair below.  Kept behaviorally
         identical to _assemble: tests assert batched == per-query."""
-        import math as _math
         cut = self.cutoffs
         p = self.params
         keep = (res["gate_score"] >= cut.ungap_ext_cut) & \
@@ -419,13 +426,15 @@ class ProteinSearcher:
         kk = np.stack([ql, sj, qb, qe, dbg, de], axis=1)[order]
         first = np.concatenate([[True], (kk[1:] != kk[:-1]).any(axis=1)])
         sel = order[first]
-        # final walk order: query, then subject, then ascending e-value
-        # (the reference's per-subject best-first rule)
-        o2 = sel[np.lexsort((ev[sel], sj[sel], ql[sel]))]
+        # final walk order: query, then GLOBAL subject id, then ascending
+        # e-value (the reference's per-subject best-first rule; _assemble
+        # sorts on global ids, and subset order is caller-chosen, so
+        # sorting local rows would change equal-e-value tie order)
+        gid_of = np.asarray(self.ids)
+        o2 = sel[np.lexsort((ev[sel], gid_of[sj[sel]], ql[sel]))]
         ql, sj, score, ev = ql[o2], sj[o2], score[o2], ev[o2]
         qb, qe, dbg, de, match = qb[o2], qe[o2], dbg[o2], de[o2], match[o2]
-        bits = (st0.L * score.astype(np.float64) - st0.logK) \
-            / _math.log(2)
+        bits = st0.raw_to_bits_vec(score)   # λ/logK shared across stats
         aln_len = qe - qb
         dlo = self.starts[sj]
         out: list[Hit] = []
@@ -446,30 +455,9 @@ class ProteinSearcher:
                            dbg[a:b_], de[a:b_], dlo[a:b_])]
             st = stats[int(u)]
             st.set_query(int(qlen[u]))
-            q_out: list[Hit] = []
-            i = 0
-            while i < len(hits):
-                j = i
-                while j < len(hits) and hits[j].subject == hits[i].subject:
-                    j += 1
-                group = hits[i:j]
-                if len(group) > 1:
-                    group = self._sum_evalue(group, st)
-                q_out.extend(group)
-                i = j
-            q_out = [h for h in q_out if h.evalue <= p.evalue_threshold]
-            q_out.sort(key=lambda h: h.evalue)
-            q_out = q_out[:max(p.max_m8_per_query, p.max_aln_per_query)]
             lo_q = int(self.starts[u])
             qseq = self.seq[lo_q:int(self.starts[u + 1])]
-            for h in q_out:
-                lo = int(self.starts[self._local_of[h.subject]])
-                qi = np.asarray(qseq[h.q_beg - 1:h.q_end])
-                di = np.asarray(self.seq[lo + h.d_beg - 1:lo + h.d_end])
-                h.q_aln = alphabet.decode(qi)
-                h.d_aln = alphabet.decode(di)
-                h.info = _info_from_ints(qi, di)
-            out.extend(q_out)
+            out.extend(self._finalize_query_hits(hits, st, qseq))
         return out
 
     def _sum_evalue(self, group: list[Hit],

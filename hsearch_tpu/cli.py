@@ -331,11 +331,17 @@ def cmd_gen_kmers(args):
     else:
         db = hio.read_fasta(args.database, seed=None)
         kmers, counts = dataprep.unique_kmers(db, args.kmer_len)
-    # one vectorized decode of the whole matrix: a per-row decode() was
-    # 130 of gen-kmers' 197 s at 9.9M k-mers
-    strs = alphabet.decode_all(np.asarray(kmers))
+    # vectorized decode in bounded slices: a per-row decode() was 130 of
+    # gen-kmers' 197 s at 9.9M k-mers, and decoding the whole matrix at
+    # once would undo the --stream-aa memory bound (a (U,) unicode
+    # array is ~4x the int matrix)
+    kmers = np.asarray(kmers)
+    step = 1 << 20
     with open(args.output, "w") as f:
-        f.writelines(f"{s}\t{c}\n" for s, c in zip(strs, counts))
+        for s in range(0, len(kmers), step):
+            strs = alphabet.decode_all(kmers[s:s + step])
+            f.writelines(f"{t}\t{c}\n"
+                         for t, c in zip(strs, counts[s:s + step]))
     print(f"[{len(kmers)} unique {args.kmer_len}-mers -> {args.output}]",
           file=sys.stderr)
 
