@@ -135,3 +135,28 @@ def test_grouped_search_unbatched_agrees(rng):
                 h.score, round(float(h.evalue), 12))
 
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_unsorted_subset_batched_equals_per_query(rng):
+    """Caller-ordered (unsorted) subsets: batched assembly must order
+    equal-e-value ties by GLOBAL subject id like the per-query path
+    (a local-row sort diverged at the truncation boundary)."""
+    import numpy as np
+    from hsearch_tpu.align import pipeline as apipe
+    from hsearch_tpu.core import io as hio
+    fam = rng.integers(0, 20, 90).astype(np.int32)
+    seqs, names = [], []
+    for i in range(8):                 # identical copies -> exact ties
+        seqs.append(fam.copy())
+        names.append(f"p{i}")
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=names, seq=np.concatenate(seqs),
+                       starts=starts)
+    subset = np.array([5, 2, 7, 0, 3])     # unsorted, with gaps
+    params = apipe.SearchParams(max_m8_per_query=3, max_aln_per_query=3)
+    s = apipe.ProteinSearcher(db, params, subset=subset)
+    a = s.search_all(batched=True)
+    b = s.search_all(batched=False)
+    ka = [(h.query, h.subject, h.evalue, h.q_beg, h.d_beg) for h in a]
+    kb = [(h.query, h.subject, h.evalue, h.q_beg, h.d_beg) for h in b]
+    assert ka == kb
