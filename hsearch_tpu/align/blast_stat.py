@@ -66,20 +66,23 @@ class BlastStat:
         self.expected_hsp_length = 0.0
         self.e_query_len = 0.0
         self.e_db_len = self.db_len
-        # precomputed adjustments for query lengths < 1000
-        # (SetDBInfo, blast_stat.cpp:33-46; lengths <= 10 are left at 0)
-        self._adjust = [0] * 1000
-        for q in range(11, 1000):
-            self._adjust[q] = self._length_adjustment(q)[0]
+        # adjustments memoized per query length.  The reference
+        # precomputes all lengths < 1000 up front (SetDBInfo,
+        # blast_stat.cpp:33-46; lengths <= 10 stay 0); corpora hit only
+        # a handful of distinct lengths, and the eager 989-entry sweep
+        # measured ~8 ms per distinct (db_len, seqs) shape — material
+        # when group-partitioned search builds hundreds of shapes.
+        self._adjust: dict[int, int] = {}
 
     # -- effective length -------------------------------------------------
     def set_query(self, query_length: int) -> None:
         """blastComputeLengthAdjustmentComp (blast_stat.cpp:220-227)."""
-        if query_length < 1000:
-            self._set_effective(self._adjust[query_length], query_length)
-        else:
-            adj, _ = self._length_adjustment(query_length)
-            self._set_effective(adj, query_length)
+        adj = self._adjust.get(query_length)
+        if adj is None:
+            adj = 0 if query_length <= 10 \
+                else self._length_adjustment(query_length)[0]
+            self._adjust[query_length] = adj
+        self._set_effective(adj, query_length)
 
     def _set_effective(self, adjustment: int, query_length: int) -> None:
         self.expected_hsp_length = float(adjustment)

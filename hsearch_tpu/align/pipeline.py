@@ -55,14 +55,24 @@ def _collapse_diag_runs(qpos, dpos, qpid, dpid, tol: int):
     Returns a keep-index into the inputs.  The reference extends every
     seed and drops contained results afterwards (CalRes,
     hash_search.cpp:950-1089) — same hit set, done before the work."""
+    # sort by (qpid, dpid, diag, qpos) as TWO composite int64 keys —
+    # np.lexsort runs one stable argsort per key, and this sort is a
+    # measured hot spot of the batched pipeline (~8% at 1e4 proteins).
+    # k2 packs (diag, qpos): diag+s in [0, 2s), qpos < s -> k2 < 2s^2,
+    # safe in int64 up to s ~ 2.1e9 (int32 global offsets cap first).
+    qpos = qpos.astype(np.int64)
+    dpos = dpos.astype(np.int64)
+    s = int(max(qpos.max(), dpos.max())) + 1 if len(qpos) else 1
     diag = qpos - dpos
-    order = np.lexsort((qpos, diag, dpid, qpid))
+    k1 = qpid.astype(np.int64) * (int(dpid.max()) + 1 if len(dpid) else 1) \
+        + dpid
+    k2 = (diag + s) * s + qpos
+    order = np.lexsort((k2, k1))
     q = qpos[order]
-    qp, dp, dg = qpid[order], dpid[order], diag[order]
+    k1s, dgs = k1[order], diag[order]
     new_run = np.ones(len(q), bool)
     if len(q) > 1:
-        same = (qp[1:] == qp[:-1]) & (dp[1:] == dp[:-1]) \
-            & (dg[1:] == dg[:-1])
+        same = (k1s[1:] == k1s[:-1]) & (dgs[1:] == dgs[:-1])
         close = (q[1:] - q[:-1]) <= tol
         new_run[1:] = ~(same & close)
     return order[new_run]
@@ -129,6 +139,20 @@ class ProteinSearcher:
         self.groups = None if groups is None else np.asarray(groups)
         self.index = seed_index.build_index(self.seq, self.starts,
                                             protein_groups=self.groups)
+        # host probe view: the seed probe runs as a ragged numpy pass —
+        # O(candidates) instead of a (Q, cand_max) slab that measured
+        # ~97% empty (and, on TPU, crossed the link) per chunk
+        self._hview = seed_index.host_view(self.index)
+        # subject array padded to a coarse length grid (1/4-pow2 steps)
+        # so extension programs are shared across searchers of similar
+        # size — per-table exact-length shapes each recompiled the
+        # extension pipeline (~2 s/table on the CPU host)
+        s_len = max(len(self.seq), 1)
+        step = max(4096, 1 << max(s_len.bit_length() - 2, 0))
+        pad_to = -(-s_len // step) * step
+        spad = np.full(pad_to, 20, np.int32)
+        spad[:len(self.seq)] = self.seq
+        self._seq_dev = jnp.asarray(spad)
         # global id -> local row (O(1); an == scan per hit cost O(P) each,
         # VERDICT r1 weak #5)
         self._local_of = {int(g): i for i, g in enumerate(self.ids)}
@@ -171,19 +195,6 @@ class ProteinSearcher:
         local = self._local_of.get(int(global_id))
         return self.stat if local is None else self.stat_for_local(local)
 
-    def _bounds_for_groups(self, g: np.ndarray):
-        """(Q,) group ids -> ((Q,) lo, (Q,) hi) slice bounds in the
-        group-partitioned seed index."""
-        gs = np.asarray(self.index.group_starts)
-        g = np.asarray(g)
-        if g.size and (g.min() < 0 or g.max() >= len(gs) - 1):
-            raise ValueError(
-                f"group id out of range [0, {len(gs) - 1}): "
-                f"{int(g.min())}..{int(g.max())}")
-        import jax.numpy as _jnp
-        return (_jnp.asarray(gs[g], _jnp.int32),
-                _jnp.asarray(gs[g + 1], _jnp.int32))
-
     # -- internals --------------------------------------------------------
     def _pairs_for_query(self, qseq: np.ndarray, group: int | None = None):
         """All (qpos, dpos) candidate seed pairs for one query sequence."""
@@ -191,54 +202,40 @@ class ProteinSearcher:
             raise ValueError(
                 "this searcher is group-partitioned; queries must name "
                 "their group (search_sequence(group=...) or search_all)")
-        # pad the query to a length bucket so distinct protein lengths
-        # share compiled programs (every length would otherwise trigger a
-        # fresh jit — ruinous on a remote TPU); padding residues are
-        # "unknown", which can never seed or extend
+        # host ragged probe: only the full-suffix probe code matters —
+        # the truncated PAD variants match exclusively subjects with
+        # < 10 residues after the seed, which the SEED_LEN filter below
+        # discards anyway (the reference also skips them,
+        # hash_search.cpp:538-540)
         true_len = len(qseq)
-        bucket = -(-max(true_len, seed_index.SEED_LEN) // 128) * 128
-        qpad = np.full(bucket, 20, np.int32)
-        qpad[:true_len] = qseq
-        q = jnp.asarray(qpad, jnp.int32)
-        qstarts = jnp.asarray(np.array([0, true_len]), jnp.int32)
-        codes, valid = seed_index.query_probe_codes(q, qstarts)
-        # only the full-suffix probe matters here: the truncated variants
-        # match exclusively subjects with < 10 residues after the seed,
-        # which the SEED_LEN filter below discards anyway (the reference
-        # also skips them, hash_search.cpp:538-540) — probing them would
-        # be 4x the searchsorted/gather work for zero surviving pairs
-        codes = codes[:, :1]
-        # query group at seed position + 9 (4th suffix residue)
-        g = np.asarray(seed_index._GROUP21)[np.minimum(qpad, 20)]
-        off = seed_index.MER + seed_index.NARROW
-        qgrp10 = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
-        bounds = None
+        code, _, valid10, qgrp10 = seed_index.host_codes(
+            np.asarray(qseq, np.int32), np.array([0, true_len]))
+        qidx = np.nonzero(valid10)[0]
+        qgroups = None
         if self.groups is not None:
-            bounds = self._bounds_for_groups(
-                np.full(bucket, group, np.int64))
-        cand, n_over = seed_index.probe(self.index, codes,
-                                        jnp.asarray(qgrp10, jnp.int32),
-                                        self.params.cand_max, bounds)
-        if int(n_over):
+            n_groups = len(np.asarray(self.index.group_starts)) - 1
+            if not 0 <= group < n_groups:
+                raise ValueError(
+                    f"group id out of range [0, {n_groups}): {group}")
+            qgroups = np.full(len(qidx), group, np.int64)
+        rows, dpos, n_over = seed_index.probe_host(
+            self._hview, code[qidx], qgrp10[qidx],
+            self.params.cand_max, qgroups=qgroups)
+        if n_over:
             import warnings
             warnings.warn(
-                f"{int(n_over)} seed buckets exceeded cand_max="
+                f"{n_over} seed buckets exceeded cand_max="
                 f"{self.params.cand_max}; raise SearchParams.cand_max to "
                 "extend every candidate of low-complexity seeds")
-        cand = np.asarray(cand)
-        valid = np.asarray(valid)
-        qpos, slot = np.nonzero((cand >= 0) & valid[:, None])
-        dpos = cand[qpos, slot]
+        qpos = qidx[rows]
         if dpos.size == 0:
             return qpos.astype(np.int64), dpos.astype(np.int64)
         # drop subjects without the full 10-residue local seed
-        # (hash_search.cpp:538-540)
+        # (hash_search.cpp:538-540); pairs arrive (qpos, dpos)-sorted and
+        # duplicate-free from the single-probe ragged pass
         pid = np.searchsorted(self.starts, dpos, side="right") - 1
         ok = self.starts[pid + 1] - dpos >= seed_index.SEED_LEN
-        # drop duplicate (qpos, dpos) pairs from multi-probe overlap
-        key = qpos[ok].astype(np.int64) * len(self.seq) + dpos[ok]
-        _, first = np.unique(key, return_index=True)
-        qpos, dpos = qpos[ok][first], dpos[ok][first]
+        qpos, dpos = qpos[ok], dpos[ok]
         if self.params.collapse_runs and len(qpos):
             dpid2 = np.searchsorted(self.starts, dpos, side="right") - 1
             keep = _collapse_diag_runs(qpos, dpos,
@@ -266,7 +263,7 @@ class ProteinSearcher:
         qpad = np.full(bucket, 20, np.int32)
         qpad[:true_len] = qseq
         qdev = jnp.asarray(qpad, jnp.int32)
-        ddev = self.index.seq
+        ddev = self._seq_dev      # length-grid padded: shared programs
         for s in range(0, qpos.shape[0], p.pair_batch):
             qp = qpos[s:s + p.pair_batch]
             dp = dpos[s:s + p.pair_batch]
@@ -343,11 +340,14 @@ class ProteinSearcher:
 
     def _finalize_query_hits(self, hits: list[Hit],
                              st: blast_stat.BlastStat,
-                             qseq: np.ndarray) -> list[Hit]:
+                             qseq: np.ndarray,
+                             render: bool = True) -> list[Hit]:
         """Per-subject SumEvalue walk (:1199-1273), threshold, e-value
         ranking, truncation, and aligned strings for ONE query's
         (subject, evalue)-sorted hits — shared by _assemble and
-        _assemble_all so the two paths cannot drift."""
+        _assemble_all so the two paths cannot drift.  render=False
+        defers the aligned strings to the caller's bulk pass
+        (_render_strings_all)."""
         out: list[Hit] = []
         i = 0
         while i < len(hits):
@@ -363,15 +363,47 @@ class ProteinSearcher:
         out.sort(key=lambda h: h.evalue)
         out = out[:max(self.params.max_m8_per_query,
                        self.params.max_aln_per_query)]
+        if not render:
+            return out
         # aligned strings only for the survivors
         for h in out:
             lo = int(self.starts[self._local_of[h.subject]])
             qi = np.asarray(qseq[h.q_beg - 1:h.q_end])
             di = np.asarray(self.seq[lo + h.d_beg - 1:lo + h.d_end])
-            h.q_aln = alphabet.decode(qi)
-            h.d_aln = alphabet.decode(di)
+            h.q_aln = _decode_bytes(qi).decode()
+            h.d_aln = _decode_bytes(di).decode()
             h.info = _info_from_ints(qi, di)
         return out
+
+    def _render_strings_all(self, hits: list[Hit]) -> None:
+        """Aligned strings + match lines for every (ungapped, in-db-query)
+        hit in ONE vectorized pass over the concatenated residues —
+        per-hit rendering measured ~45 us/hit of small-array overheads
+        (~4 s of a 1e4-protein tables=4 run)."""
+        if not hits:
+            return
+        n = len(hits)
+        ln = np.fromiter((h.aln_len for h in hits), np.int64, n)
+        lq = np.fromiter((self._local_of[h.query] for h in hits),
+                         np.int64, n)
+        ld = np.fromiter((self._local_of[h.subject] for h in hits),
+                         np.int64, n)
+        qb = np.fromiter((h.q_beg for h in hits), np.int64, n)
+        db_ = np.fromiter((h.d_beg for h in hits), np.int64, n)
+        qlo = self.starts[lq] + qb - 1
+        dlo = self.starts[ld] + db_ - 1
+        total = int(ln.sum())
+        first = np.cumsum(ln) - ln
+        offs = np.arange(total, dtype=np.int64) - np.repeat(first, ln)
+        qi = self.seq[np.repeat(qlo, ln) + offs]
+        di = self.seq[np.repeat(dlo, ln) + offs]
+        qbuf, dbuf, ibuf = _decode_bytes(qi), _decode_bytes(di), \
+            _info_bytes(qi, di)
+        for i, h in enumerate(hits):
+            a, b = int(first[i]), int(first[i] + ln[i])
+            h.q_aln = qbuf[a:b].decode()
+            h.d_aln = dbuf[a:b].decode()
+            h.info = ibuf[a:b].decode()
 
     def _assemble_all(self, query_local: np.ndarray, res, dpid):
         """Batched CalRes over every query's pairs at once.
@@ -457,7 +489,9 @@ class ProteinSearcher:
             st.set_query(int(qlen[u]))
             lo_q = int(self.starts[u])
             qseq = self.seq[lo_q:int(self.starts[u + 1])]
-            out.extend(self._finalize_query_hits(hits, st, qseq))
+            out.extend(self._finalize_query_hits(hits, st, qseq,
+                                                 render=False))
+        self._render_strings_all(out)     # one pass over every survivor
         return out
 
     def _sum_evalue(self, group: list[Hit],
@@ -537,67 +571,39 @@ class ProteinSearcher:
                                                 group=grp))
             return out
 
-        # 1. one probe pass over the whole concatenated sequence: every
-        # protein's seed positions probe the shared index together
-        # (chunked over positions to bound the candidate matrix)
+        # 1. one ragged host probe over the whole concatenated sequence:
+        # every protein's seed positions probe the shared index together.
+        # O(candidates) work/memory — the former device probe staged a
+        # (32768, cand_max) slab per chunk that measured ~97% empty and
+        # whose host conversion + nonzero dominated the probe stage
         s_total = len(self.seq)
         if s_total < seed_index.SEED_LEN:
             return []
-        chunk = 1 << 15
-        pad = (-s_total) % chunk
-        seq_pad = np.full(s_total + pad, 20, np.int32)
-        seq_pad[:s_total] = self.seq
-        starts_dev = jnp.asarray(self.starts, jnp.int32)
-        codes, valid = seed_index.query_probe_codes(
-            jnp.asarray(seq_pad, jnp.int32), starts_dev)
-        g = np.asarray(seed_index._GROUP21)[np.minimum(seq_pad, 20)]
-        off = seed_index.MER + seed_index.NARROW
-        qgrp10_all = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
-        valid_np = np.asarray(valid)
-        pos_group = None
+        code, _, valid10, qgrp10_all = seed_index.host_codes(
+            self.seq, self.starts)
+        qidx = np.nonzero(valid10)[0]
+        qgroups = None
         if self.groups is not None:
-            # per-position group of the protein owning that position
-            # (padded-tail positions are invalid; clip keeps them in range)
-            ppid = np.clip(
-                np.searchsorted(self.starts, np.arange(len(seq_pad)),
-                                side="right") - 1, 0, len(self.ids) - 1)
-            pos_group = self.groups[ppid]
-        all_q, all_d = [], []
-        n_over_total = 0
-        for s in range(0, len(seq_pad), chunk):
-            sl = slice(s, s + chunk)
-            if not valid_np[sl].any():
-                continue
-            bounds = None if pos_group is None \
-                else self._bounds_for_groups(pos_group[sl])
-            cand, n_over = seed_index.probe(
-                self.index, codes[sl, :1],
-                jnp.asarray(qgrp10_all[sl], jnp.int32),
-                self.params.cand_max, bounds)
-            n_over_total += int(n_over)
-            cand = np.asarray(cand)
-            qp, slot = np.nonzero((cand >= 0) & valid_np[sl][:, None])
-            all_q.append(qp + s)
-            all_d.append(cand[qp, slot])
-        if n_over_total:
+            # group of the protein owning each probing position
+            ppid = np.searchsorted(self.starts, qidx, side="right") - 1
+            qgroups = self.groups[ppid]
+        rows, dpos, n_over = seed_index.probe_host(
+            self._hview, code[qidx], qgrp10_all[qidx],
+            self.params.cand_max, qgroups=qgroups)
+        if n_over:
             import warnings
             warnings.warn(
-                f"{n_over_total} seed buckets exceeded cand_max="
+                f"{n_over} seed buckets exceeded cand_max="
                 f"{self.params.cand_max}; raise SearchParams.cand_max")
-        if not all_q:
+        if rows.size == 0:
             return []
-        qpos = np.concatenate(all_q)
-        dpos = np.concatenate(all_d)
-        # subjects need the full 10-residue seed (hash_search.cpp:538-540)
+        qpos = qidx[rows]
+        # subjects need the full 10-residue seed (hash_search.cpp:538-540);
+        # pairs arrive (qpos, dpos)-sorted and duplicate-free from the
+        # single-probe ragged pass
         dpid = np.searchsorted(self.starts, dpos, side="right") - 1
         ok = self.starts[dpid + 1] - dpos >= seed_index.SEED_LEN
         qpos, dpos, dpid = qpos[ok], dpos[ok], dpid[ok]
-        # dedup multiprobe/duplicate pairs
-        pkey = qpos.astype(np.int64) * max(s_total, 1) + dpos
-        _, first = np.unique(pkey, return_index=True)
-        qpos, dpos, dpid = qpos[first], dpos[first], dpid[first]
-        # one pid derivation per side, filtered along with the pairs
-        # (this function previously re-ran the same searchsorted 3x)
         qpid = np.searchsorted(self.starts, qpos, side="right") - 1
         if self.params.collapse_runs and len(qpos):
             keep = _collapse_diag_runs(qpos, dpos, qpid, dpid,
@@ -612,7 +618,7 @@ class ProteinSearcher:
         drop = jnp.int32(int(self.cutoffs.ungap_ext_drop))
         qlo, qhi = self.starts[qpid], self.starts[qpid + 1]
         dlo, dhi = self.starts[dpid], self.starts[dpid + 1]
-        sdev = self.index.seq
+        sdev = self._seq_dev      # length-grid padded: shared programs
         res = {k: [] for k in ("score", "match", "gate_score", "gate_match",
                                "q_beg", "q_end", "d_beg", "d_end")}
         for s in range(0, qpos.shape[0], p.pair_batch):
@@ -776,8 +782,8 @@ def _pos_score(a: str, b: str) -> int:
 _POS62 = None
 
 
-def _info_from_ints(qi: np.ndarray, di: np.ndarray) -> str:
-    """Vectorized match line: residue letter on identity, '+' on a
+def _info_bytes(qi: np.ndarray, di: np.ndarray) -> bytes:
+    """Vectorized match line bytes: residue letter on identity, '+' on a
     positive BLOSUM62 score, ' ' otherwise (ungapped hits only — a
     per-char Python join was 15 s of a 92 s 1e4-protein run)."""
     global _POS62
@@ -793,7 +799,19 @@ def _info_from_ints(qi: np.ndarray, di: np.ndarray) -> str:
     ok = qi < 20
     letters[ok] = alphabet._INDEX_TO_BYTE[qi[ok]]
     chars[eq] = letters[eq]
-    return chars.tobytes().decode()
+    return chars.tobytes()
+
+
+def _decode_bytes(idx: np.ndarray) -> bytes:
+    """Index array -> AA letter bytes ('X' for unknown)."""
+    out = np.full(len(idx), ord("X"), np.uint8)
+    ok = idx < 20
+    out[ok] = alphabet._INDEX_TO_BYTE[np.asarray(idx)[ok]]
+    return out.tobytes()
+
+
+def _info_from_ints(qi: np.ndarray, di: np.ndarray) -> str:
+    return _info_bytes(qi, di).decode()
 
 
 def write_m8(path_or_file, hits: list[Hit], names_q, names_d) -> None:

@@ -111,6 +111,134 @@ def _codes_for(seq: jax.Array, starts: jax.Array):
 _G10_PASS = 15    # "subject has no 4th suffix residue" — matches anything
 
 
+def host_codes(seq: np.ndarray, starts: np.ndarray):
+    """numpy twin of `_codes_for` + the full-seed validity of
+    `query_probe_codes`: (code uint32, valid6, valid10, qgrp10).
+
+    valid6 is the db-side rule (a valid 6-mer; shorter suffixes
+    PAD-match), valid10 the query-side rule (all 10 seed residues valid
+    and in-sequence).  The host probe path (`probe_host`) needs only the
+    base (untruncated) probe code per position, so the truncated PAD
+    variants are not materialized.  Equivalence with the device
+    functions is asserted in tests/test_align.py.
+    """
+    seq = np.asarray(seq)
+    starts = np.asarray(starts)
+    s = len(seq)
+    g = _GROUP21[np.minimum(seq, 20)]
+    idx = np.arange(s)
+    pid = np.searchsorted(starts, idx, side="right") - 1
+    seq_end = starts[pid + 1] if s else np.zeros(0, np.int64)
+
+    def shifted(i):
+        # length-s always, even when the whole sequence is shorter than
+        # the shift (unpadded queries may be shorter than one seed)
+        return np.concatenate(
+            [g[i:], np.full(min(i, s), 10, g.dtype)]) if i else g
+
+    key = np.zeros(s, np.int64)
+    valid6 = np.ones(s, bool)
+    for i in range(MER):
+        gg = shifted(i)
+        key = key * 10 + gg
+        valid6 &= (gg < 10) & (idx + i < seq_end)
+    code = key.astype(np.uint32) * np.uint32(16 ** NARROW)
+    for i in range(NARROW):
+        gg = shifted(MER + i)
+        in_seq = idx + MER + i < seq_end
+        nib = np.where(in_seq, gg, _PAD).astype(np.uint32)
+        code = code + nib * np.uint32(16 ** (NARROW - 1 - i))
+    valid10 = valid6.copy()
+    for i in range(MER, SEED_LEN):           # query needs all 10 residues
+        gg = shifted(i)
+        valid10 &= (gg < 10) & (idx + i < seq_end)
+    off = MER + NARROW
+    qgrp10 = np.concatenate(
+        [g[off:], np.full(min(off, s), 10, g.dtype)]).astype(np.int32)
+    return code, valid6, valid10, qgrp10
+
+
+@dataclasses.dataclass
+class HostSeedView:
+    """Host-resident view of a SeedIndex for the ragged numpy probe.
+
+    keys: the sorted probe keys — the uint32 codes directly, or, for a
+    group-partitioned index, the composite uint64 ``(group << 32) | code``
+    (positions are sorted by (group, code), so the composite is globally
+    sorted and one np.searchsorted replaces the per-row bounded binary
+    search of the device path).
+    """
+
+    keys: np.ndarray        # (P,) uint32 or uint64
+    positions: np.ndarray   # (P,) int64
+    g10_at: np.ndarray      # (S,) int8
+    grouped: bool
+
+
+def host_view(index: SeedIndex) -> HostSeedView:
+    """One-time host projection of a SeedIndex (a no-copy view on the CPU
+    backend; a single small d2h on TPU — the probe itself then runs
+    entirely on host, so the (Q, cand_max) candidate matrix that was
+    ~97% empty for typical seeds is never materialized or transferred)."""
+    sc = np.asarray(index.sorted_codes).astype(np.uint32)
+    pos = np.asarray(index.positions).astype(np.int64)
+    if index.g10_at is not None:
+        g10 = np.asarray(index.g10_at)
+    else:
+        g10 = g10_table(np.asarray(index.seq), np.asarray(index.starts))
+    grouped = index.group_starts is not None
+    if grouped:
+        gs = np.asarray(index.group_starts)
+        gid = (np.searchsorted(gs, np.arange(len(sc)),
+                               side="right") - 1).astype(np.uint64)
+        keys = (gid << np.uint64(32)) | sc.astype(np.uint64)
+    else:
+        keys = sc
+    return HostSeedView(keys=keys, positions=pos, g10_at=g10,
+                        grouped=grouped)
+
+
+def probe_host(view: HostSeedView, qcodes: np.ndarray, qgrp10: np.ndarray,
+               cand_max: int, qgroups: np.ndarray | None = None):
+    """Ragged host probe: (rows, dpos, n_over).
+
+    qcodes: (Q,) uint32 base probe codes; qgrp10: (Q,) the query group at
+    seed position + 9; qgroups: (Q,) group ids (required iff the view is
+    group-partitioned).  Returns candidate pairs as (row-into-qcodes,
+    db position) int64 arrays — O(total candidates) work and memory, no
+    dense (Q, cand_max) slab.  Pairs come out sorted by (row, dpos):
+    positions within one bucket ascend (the index sort is stable on
+    position), and each row probes exactly one bucket, so the pair list
+    is duplicate-free by construction.  ``n_over`` counts buckets larger
+    than cand_max (truncated to their first cand_max positions, matching
+    the device probe).
+    """
+    if view.grouped != (qgroups is not None):
+        raise ValueError("qgroups must be given exactly when the index "
+                         "is group-partitioned")
+    q = np.asarray(qcodes).astype(np.uint32)
+    if view.grouped:
+        qk = (np.asarray(qgroups).astype(np.uint64) << np.uint64(32)) \
+            | q.astype(np.uint64)
+    else:
+        qk = q
+    lo = np.searchsorted(view.keys, qk, side="left")
+    hi = np.searchsorted(view.keys, qk, side="right")
+    cnt = hi - lo
+    n_over = int(np.sum(cnt > cand_max))
+    cnt = np.minimum(cnt, cand_max)
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), n_over)
+    rows = np.repeat(np.arange(len(qk), dtype=np.int64), cnt)
+    first = np.cumsum(cnt) - cnt
+    offs = np.arange(total, dtype=np.int64) - np.repeat(first, cnt)
+    ids = view.positions[np.repeat(lo, cnt) + offs]
+    g10 = view.g10_at[ids]
+    ok = (g10 == _G10_PASS) | (g10 == np.asarray(qgrp10)[rows])
+    return rows[ok], ids[ok], n_over
+
+
 def g10_table(seq: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """(S,) int8: murphy10 group of the 4th suffix residue at each
     position, or _G10_PASS where that residue falls past the owning
@@ -142,9 +270,10 @@ def build_index(seq: np.ndarray, starts: np.ndarray,
     """
     seqd = jnp.asarray(seq, jnp.int32)
     startsd = jnp.asarray(starts, jnp.int32)
-    codes, valid = _codes_for(seqd, startsd)
-    codes = np.asarray(codes)
-    pos = np.nonzero(np.asarray(valid))[0].astype(np.int32)
+    # codes on host (one numpy pass — no device compile per index size);
+    # db entries need only the valid 6-mer: shorter suffixes PAD-match
+    codes, valid6, _, _ = host_codes(seq, starts)
+    pos = np.nonzero(valid6)[0].astype(np.int32)
     c = codes[pos]
     group_starts = None
     if protein_groups is None:
@@ -191,52 +320,25 @@ def query_probe_codes(qseq: jax.Array, qstarts: jax.Array):
     return jnp.stack(probes, axis=1), valid
 
 
-def _bounded_searchsorted(sc: jax.Array, qc: jax.Array, lo0: jax.Array,
-                          hi0: jax.Array, left: bool) -> jax.Array:
-    """searchsorted of ``qc`` within per-row slices [lo0, hi0) of ``sc``.
-
-    A branchless fixed-iteration binary search: ``sc`` is sorted within
-    every slice (here: per protein group), not globally, so the stock
-    jnp.searchsorted cannot be used.  lo0/hi0 broadcast against qc.
-    """
-    lo = jnp.broadcast_to(lo0, qc.shape).astype(jnp.int32)
-    hi = jnp.broadcast_to(hi0, qc.shape).astype(jnp.int32)
-    n = sc.shape[0]
-    for _ in range(max(1, int(np.ceil(np.log2(n + 1))))):
-        cont = lo < hi
-        mid = (lo + hi) >> 1
-        v = jnp.take(sc, jnp.clip(mid, 0, n - 1))
-        pred = (v < qc) if left else (v <= qc)
-        lo = jnp.where(cont & pred, mid + 1, lo)
-        hi = jnp.where(cont & ~pred, mid, hi)
-    return lo
-
-
 @functools.partial(jax.jit, static_argnames=("cand_max",))
 def probe(index: SeedIndex, qcodes: jax.Array, qgrp10: jax.Array,
-          cand_max: int, bounds: tuple | None = None):
+          cand_max: int):
     """(Q, P) probe codes -> (candidates (Q, P*cand_max) int32, n_over).
+
+    The device probe variant — kept as the on-device oracle twin of
+    ``probe_host`` (which the pipeline uses: the ragged host pass avoids
+    materializing this mostly-empty candidate slab).  Group-partitioned
+    probing lives only in ``probe_host`` via composite keys.
 
     qgrp10: (Q,) the query's murphy10 group at seed position + 9 (the 4th
     suffix residue) — candidates that still have that residue must agree
     on it (the reference's 4-deep narrowing); shorter candidates pass.
     Invalid slots hold -1.  ``n_over`` counts buckets whose true size
     exceeded cand_max (truncated — the caller should warn).
-
-    bounds: optional ((Q,) lo, (Q,) hi) index-slice per query row for a
-    group-partitioned index (each query probes only its own group's
-    contiguous code slice).
     """
     sc = index.sorted_codes
-    if bounds is None:
-        lo = jnp.searchsorted(sc, qcodes, side="left")
-        hi = jnp.searchsorted(sc, qcodes, side="right")
-    else:
-        blo, bhi = bounds
-        lo = _bounded_searchsorted(sc, qcodes, blo[:, None], bhi[:, None],
-                                   left=True)
-        hi = _bounded_searchsorted(sc, qcodes, blo[:, None], bhi[:, None],
-                                   left=False)
+    lo = jnp.searchsorted(sc, qcodes, side="left")
+    hi = jnp.searchsorted(sc, qcodes, side="right")
     n_over = jnp.sum(hi - lo > cand_max)
     count = jnp.minimum(hi - lo, cand_max)
     offs = jnp.arange(cand_max, dtype=jnp.int32)

@@ -225,7 +225,7 @@ def test_search_all_batched_equals_per_query(rng):
     a = searcher.search_all(batched=True)
     b = searcher.search_all(batched=False)
     key = lambda h: (h.query, h.subject, h.q_beg, h.q_end, h.d_beg,
-                     h.d_end, h.score)
+                     h.d_end, h.score, h.q_aln, h.d_aln, h.info)
     assert sorted(map(key, a)) == sorted(map(key, b))
     assert len(a) > 4        # self-hits plus homologs found
 
@@ -246,6 +246,101 @@ def test_g10_table_matches_searchsorted_path(rng):
             assert tab[i] == g[i + off], i
         else:
             assert tab[i] == seed_index._G10_PASS, i
+
+
+def test_host_codes_match_device(rng):
+    """numpy host_codes == jitted _codes_for/query_probe_codes."""
+    lens = rng.integers(3, 40, 30)
+    seq = rng.integers(0, 22, int(lens.sum())).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    code, valid6, valid10, qgrp10 = seed_index.host_codes(seq, starts)
+    dcode, dvalid6 = seed_index._codes_for(
+        jnp.asarray(seq), jnp.asarray(starts, jnp.int32))
+    qcodes, dvalid10 = seed_index.query_probe_codes(
+        jnp.asarray(seq), jnp.asarray(starts, jnp.int32))
+    assert (code == np.asarray(dcode)).all()
+    assert (valid6 == np.asarray(dvalid6)).all()
+    assert (valid10 == np.asarray(dvalid10)).all()
+    assert (code == np.asarray(qcodes)[:, 0]).all()
+    g = seed_index._GROUP21[np.minimum(seq, 20)]
+    off = seed_index.MER + seed_index.NARROW
+    want_g10 = np.concatenate([g[off:], np.full(off, 10, g.dtype)])
+    assert (qgrp10 == want_g10).all()
+
+
+def test_probe_host_matches_device(rng):
+    """Ragged host probe == dense device probe, pair for pair."""
+    lens = rng.integers(3, 50, 40)
+    seq = rng.integers(0, 8, int(lens.sum())).astype(np.int32)  # collisions
+    starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    idx = seed_index.build_index(seq, starts)
+    hv = seed_index.host_view(idx)
+    qseq = rng.integers(0, 8, 256).astype(np.int32)
+    qseq[10:110] = seq[:100]
+    code, _, valid10, qgrp10 = seed_index.host_codes(
+        qseq, np.array([0, len(qseq)]))
+    qidx = np.nonzero(valid10)[0]
+    rows, dpos, n_over = seed_index.probe_host(
+        hv, code[qidx], qgrp10[qidx], cand_max=512)
+    cand, dn_over = seed_index.probe(
+        idx, jnp.asarray(code[:, None].astype(np.uint32)),
+        jnp.asarray(qgrp10, jnp.int32), cand_max=512)
+    cand = np.asarray(cand)
+    qp, slot = np.nonzero((cand >= 0) & valid10[:, None])
+    want = set(zip(qp.tolist(), cand[qp, slot].tolist()))
+    got = set(zip(qidx[rows].tolist(), dpos.tolist()))
+    assert got == want and len(got) > 50
+    assert n_over == int(dn_over)
+    # pairs come out (row, dpos)-sorted and duplicate-free
+    k = rows * (int(starts[-1]) + 1) + dpos
+    assert (np.diff(k) > 0).all()
+
+
+def test_probe_host_grouped_stays_in_group(rng):
+    """Composite-key grouped probe returns only same-group candidates,
+    and equals a per-group ungrouped probe."""
+    n, L = 12, 60
+    base = rng.integers(0, 6, L).astype(np.int32)
+    seqs = [base.copy() for _ in range(n)]
+    for s in seqs:
+        p = rng.integers(0, L, 3)
+        s[p] = rng.integers(0, 6, 3)
+    seq = np.concatenate(seqs)
+    starts = np.concatenate([[0], np.cumsum([L] * n)]).astype(np.int64)
+    groups = np.arange(n) % 3
+    order = np.argsort(groups, kind="stable")
+    # build over proteins sorted by group (pipeline's subset layout)
+    seq2 = np.concatenate([seqs[i] for i in order])
+    groups2 = groups[order]
+    idx = seed_index.build_index(seq2, starts, protein_groups=groups2)
+    hv = seed_index.host_view(idx)
+    code, _, valid10, qgrp10 = seed_index.host_codes(seq2, starts)
+    qidx = np.nonzero(valid10)[0]
+    ppid = np.searchsorted(starts, qidx, side="right") - 1
+    qg = groups2[ppid]
+    rows, dpos, _ = seed_index.probe_host(
+        hv, code[qidx], qgrp10[qidx], cand_max=512, qgroups=qg)
+    dgrp = groups2[np.searchsorted(starts, dpos, side="right") - 1]
+    assert (qg[rows] == dgrp).all() and len(rows) > n * 10
+    # equals the union of per-group ungrouped probes
+    want = set()
+    for gsel in range(3):
+        mask = groups2 == gsel
+        gseq = np.concatenate([seq2[starts[i]:starts[i + 1]]
+                               for i in range(n) if mask[i]])
+        loc = np.nonzero(mask)[0]
+        gstarts = np.concatenate([[0], np.cumsum([L] * len(loc))])
+        gi = seed_index.build_index(gseq, gstarts)
+        ghv = seed_index.host_view(gi)
+        c, _, v, qg10 = seed_index.host_codes(gseq, gstarts)
+        qi = np.nonzero(v)[0]
+        r2, d2, _ = seed_index.probe_host(ghv, c[qi], qg10[qi], 512)
+        # map local offsets back to the grouped layout
+        l2g = np.concatenate([np.arange(starts[i], starts[i + 1])
+                              for i in range(n) if mask[i]])
+        want |= set(zip(l2g[qi[r2]].tolist(), l2g[d2].tolist()))
+    got = set(zip(qidx[rows].tolist(), dpos.tolist()))
+    assert got == want
 
 
 def test_collapse_diag_runs():
