@@ -203,6 +203,137 @@ def _bucket_class_matrices(codes: np.ndarray, active_ids: np.ndarray,
     return out
 
 
+def _class_caps(n: int, bucket_max: int) -> tuple[int, ...]:
+    """Static worst-case row capacity per size class for N active points.
+
+    A class-c remainder row holds a bucket remainder in (c/4, c] (>= 2
+    for c = 4), so at most n // (c//4 + 1) such buckets exist; the
+    widest class additionally holds sum(size // bucket_max) <= n //
+    bucket_max full rows.  These bounds make the device-resident class
+    arenas' shapes static — the actual row counts are the ONLY scalars
+    the per-round device bucketization sends to host."""
+    caps = []
+    for c in _class_sizes(bucket_max):
+        lo = max(c // 4, 1)              # smallest remainder in class c
+        rows = n // (lo + 1) + 1
+        if c == bucket_max:
+            rows += n // bucket_max + 1  # oversize-bucket full rows
+        # next power of two: _slab_geometry's quantized slabs then always
+        # fit inside the arena (s_rows <= 2^ceil(log2(nrows)) <= cap)
+        caps.append(1 << max(rows - 1, 1).bit_length())
+    return tuple(caps)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bucket_max", "caps"))
+def _bucketize_device(codes: jax.Array, active: jax.Array,
+                      bucket_max: int, caps: tuple):
+    """Device twin of `_bucket_class_matrices`: size-classed bucket
+    arenas built entirely on device.
+
+    codes: (N,) int32 round hashes; active: (N,) bool (merged != 2).
+    Returns ([(CAP_c, c) int32 arenas with sentinel N], (n_classes,)
+    int32 real row counts).  Layout is identical to the host builder:
+    buckets ascend by code, members ascend by id, oversize buckets
+    chunk into full bucket_max-wide rows (all classes' full rows first
+    in the widest arena) plus a >= 2-member remainder row in its size
+    class.  Nothing but the row-count vector needs to leave the device
+    — the host version shipped the (N,) codes down and the padded id
+    matrices back up every round (~0.5 GB/round at 2^23 over the
+    remote link)."""
+    n = codes.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inact = jnp.where(active, 0, 1).astype(jnp.int32)
+    _, _, sid = jax.lax.sort((inact, codes, iota), num_keys=2)
+    sa = jnp.take(active, sid)
+    sc = jnp.take(codes, sid)
+    first = sa & jnp.concatenate(
+        [jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    bucket_id = jnp.maximum(jnp.cumsum(first.astype(jnp.int32)) - 1, 0)
+    sizes = jax.ops.segment_sum(sa.astype(jnp.int32), bucket_id,
+                                num_segments=n)
+    size_of = jnp.take(sizes, bucket_id)
+    start = jax.lax.cummax(jnp.where(first, iota, 0))
+    rank = iota - start
+    member = sa & (size_of >= 2)
+    full_rows_of = size_of // bucket_max
+    in_full = member & (rank < full_rows_of * bucket_max)
+    rem_of = size_of - full_rows_of * bucket_max
+    rem_rank = rank - full_rows_of * bucket_max
+    classes = _class_sizes(bucket_max)
+    cls_arr = jnp.asarray(classes, jnp.int32)
+    cls_of = jnp.take(cls_arr,
+                      jnp.searchsorted(cls_arr, rem_of.astype(jnp.int32)))
+    has_rem = rem_of >= 2
+    # per-bucket exclusive cumsums, read at each member's bucket start
+    fr_first = jnp.where(first, full_rows_of, 0)
+    fr_base = jnp.take(jnp.cumsum(fr_first) - fr_first, start)
+    nfull = jnp.sum(fr_first)
+    arenas, rows = [], []
+    for ci, c in enumerate(classes):
+        is_rem_c = member & ~in_full & has_rem & (cls_of == c)
+        rb_first = jnp.where(first & has_rem & (cls_of == c), 1, 0)
+        rem_base = jnp.take(jnp.cumsum(rb_first) - rb_first, start)
+        n_rem_rows = jnp.sum(rb_first)
+        cap = caps[ci]
+        if c == bucket_max:
+            row = jnp.where(in_full, fr_base + rank // bucket_max,
+                            nfull + rem_base)
+            col = jnp.where(in_full, rank % bucket_max, rem_rank)
+            sel = in_full | is_rem_c
+            n_rows = nfull + n_rem_rows
+        else:
+            row, col, sel = rem_base, rem_rank, is_rem_c
+            n_rows = n_rem_rows
+        flat = jnp.where(sel, row * c + col, cap * c)
+        arena = jnp.full((cap * c,), n, jnp.int32)
+        arena = arena.at[flat].set(sid, mode="drop")
+        arenas.append(arena.reshape(cap, c))
+        rows.append(n_rows.astype(jnp.int32))
+    return arenas, jnp.stack(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "s_rows"))
+def _elect_apply_slab(km_dev: jax.Array, arena: jax.Array, start,
+                      snapshot: jax.Array, parent_pad: jax.Array,
+                      merged_pad: jax.Array, radius,
+                      chunk: int, s_rows: int):
+    """One slab of a fully device-resident round: slice s_rows bucket
+    rows out of the class arena (traced start — one program per shape,
+    not per offset), run the leader election against the round-start
+    ``snapshot``, and fold the result into the (N+1,)-padded parent /
+    next-state vectors (slot N absorbs sentinel writes; buckets are
+    disjoint within a round, so slab updates never collide).  Nothing
+    crosses to host — slabs chain asynchronously on device."""
+    n, l = km_dev.shape
+    c = arena.shape[1]
+    bids = jax.lax.dynamic_slice(arena, (start, 0), (s_rows, c))
+    bval = bids < n
+    km_pad = jnp.concatenate([km_dev, jnp.zeros((1, l), jnp.int32)])
+    state_pad = jnp.concatenate(
+        [snapshot, jnp.full((1,), 2, snapshot.dtype)])
+    ids_c = bids.reshape(s_rows // chunk, chunk, c)
+    val_c = bval.reshape(s_rows // chunk, chunk, c)
+
+    def body(_, args):
+        cb, cv = args
+        bk = jnp.take(km_pad, cb, axis=0)
+        state = jnp.where(cv, jnp.take(state_pad, cb, axis=0), 2)
+        d = _bucket_distances(bk, l)
+        return None, _elect_device(d, state, cv, radius)
+
+    _, par = jax.lax.scan(body, None, (ids_c, val_c))
+    par = par.reshape(s_rows, c)
+    valid = par >= 0
+    absorber = jnp.take_along_axis(bids, jnp.maximum(par, 0), axis=1)
+    absorbed = jnp.where(valid, bids, n).reshape(-1)
+    absorber = jnp.where(valid, absorber, n).reshape(-1)
+    parent_pad = parent_pad.at[absorbed].set(absorber)
+    merged_pad = merged_pad.at[absorbed].set(2)
+    merged_pad = merged_pad.at[absorber].set(1)
+    return parent_pad, merged_pad
+
+
 def _slab_geometry(c: int, nrows: int, config: ClusterConfig):
     """Scan chunk + slab row count for bucket width c: constant
     (chunk, c, c) distance-matrix memory across classes, chunk and slab
@@ -241,8 +372,23 @@ class ClusterResult:
 
 def cluster_greedy(kmers: np.ndarray, key: jax.Array,
                    config: ClusterConfig = ClusterConfig(),
-                   use_device: bool = True) -> ClusterResult:
-    """Run hash_L greedy rounds over the k-mer set."""
+                   use_device: bool = True,
+                   host_bucketize: bool | None = None) -> ClusterResult:
+    """Run hash_L greedy rounds over the k-mer set.
+
+    On an accelerator every round stays on device end-to-end (hash ->
+    bucketize -> elect -> parent/state update); the only per-round
+    host traffic is the per-class row-count vector (the host-grouping
+    path shipped ~0.5 GB/round at 2^23 over the remote link).
+    host_bucketize=None resolves by backend: the host grouping wins on
+    the cpu backend, where there are no transfers to save and numpy's
+    argsort beats lax.sort (measured 4.2 s vs 9.4 s at 2^18) — it is
+    also the device path's parity oracle at scale.
+    """
+    if host_bucketize is None:
+        host_bucketize = jax.default_backend() == "cpu"
+    if use_device and not host_bucketize:
+        return _cluster_greedy_device(kmers, key, config)
     n, l = kmers.shape
     kmers = np.asarray(kmers)
     km_dev = jnp.asarray(kmers, jnp.int32)
@@ -313,6 +459,52 @@ def cluster_greedy(kmers: np.ndarray, key: jax.Array,
                     parent[absorbed] = absorber
                     merged[absorbed] = 2
                     merged[absorber] = 1
+    return ClusterResult(parent=parent, merged=merged)
+
+
+def _cluster_greedy_device(kmers: np.ndarray, key: jax.Array,
+                           config: ClusterConfig) -> ClusterResult:
+    """Fully device-resident greedy rounds.
+
+    Per round: hash codes, size-classed bucket arenas, elections, and
+    parent/state updates all run on device; host reads ONE
+    (n_classes,) row-count vector to drive the slab dispatch loop.
+    The round-2 host path shipped the (N,) codes down and the padded
+    id matrices back up every round — ~0.5 GB/round at 2^23 over the
+    ~10 MB/s remote link, which dominated the measured 130 s warm
+    wall.  parent/merged leave the device once, at the end.
+    """
+    n, l = kmers.shape
+    km_dev = jnp.asarray(np.asarray(kmers), jnp.int32)
+    caps = _class_caps(n, config.bucket_max)
+    classes = _class_sizes(config.bucket_max)
+    parent_pad = jnp.full((n + 1,), -1, jnp.int32)
+    merged_pad = jnp.zeros((n + 1,), jnp.uint8)
+    keys = jax.random.split(key, config.hash_l)
+    radius = jnp.float32(config.radius)
+    for rnd in range(config.hash_l):
+        params = pstable.init(keys[rnd], l * embedding.AA_DIM,
+                              config.hash_k, 1, config.w)
+        codes = pstable.hash_codes(km_dev, params, is_kmers=True)[0]
+        snapshot = merged_pad[:n]          # round-start state, immutable
+        arenas, rows_dev = _bucketize_device(codes, snapshot != 2,
+                                             config.bucket_max, caps)
+        rows = np.asarray(rows_dev)        # the round's only d2h
+        for ci, c in enumerate(classes):
+            nrows = int(rows[ci])
+            if nrows == 0:
+                continue
+            ck, s_rows = _slab_geometry(c, nrows, config)
+            for s in range(0, nrows, s_rows):
+                # dynamic_slice clamps the final start into bounds; the
+                # overlap re-elects earlier rows against the same
+                # snapshot — identical parents, idempotent writes
+                parent_pad, merged_pad = _elect_apply_slab(
+                    km_dev, arenas[ci], jnp.int32(s), snapshot,
+                    parent_pad, merged_pad, radius,
+                    chunk=ck, s_rows=s_rows)
+    parent = np.asarray(parent_pad[:n]).astype(np.int64)
+    merged = np.asarray(merged_pad[:n])
     return ClusterResult(parent=parent, merged=merged)
 
 

@@ -194,6 +194,57 @@ def test_bucket_class_matrices_partition(rng):
         assert s % ck == 0 and s >= ck
 
 
+def test_bucketize_device_matches_host(rng):
+    """The device bucketizer builds byte-identical class layouts to
+    _bucket_class_matrices (same engineered multiset: singletons,
+    pairs, mid sizes, oversize chunking, dropped size-1 remainder) —
+    including inactive points and id gaps."""
+    import jax.numpy as jnp
+    from hsearch_tpu.cluster.greedy import (_bucket_class_matrices,
+                                            _bucketize_device,
+                                            _class_caps, _class_sizes)
+    sizes = [1, 2, 2, 3, 5, 17, 64, 65, 600, 257]
+    codes_all = np.concatenate([np.full(s, 1000 + 7 * i, np.int32)
+                                for i, s in enumerate(sizes)])
+    rng.shuffle(codes_all)
+    n = len(codes_all) + 37                  # trailing points, some inactive
+    codes_all = np.concatenate([codes_all,
+                                rng.integers(0, 5, 37).astype(np.int32)])
+    active = rng.random(n) > 0.3
+    host_mats = _bucket_class_matrices(codes_all[active],
+                                       np.nonzero(active)[0], 256, n)
+    arenas, rows = _bucketize_device(jnp.asarray(codes_all),
+                                     jnp.asarray(active), 256,
+                                     _class_caps(n, 256))
+    rows = np.asarray(rows)
+    classes = _class_sizes(256)
+    by_width = {m.shape[1]: m for m, _ in host_mats}
+    for ci, c in enumerate(classes):
+        got = np.asarray(arenas[ci])[:int(rows[ci])]
+        if c not in by_width:
+            assert rows[ci] == 0
+            continue
+        np.testing.assert_array_equal(got, by_width[c])
+
+
+def test_cluster_greedy_device_bucketize_three_way(rng):
+    """device-bucketized == host-bucketized == numpy walk, on a corpus
+    mixing duplicates, near-duplicates, and an oversize bucket."""
+    km = _random_kmers(rng, 400, 8)
+    km[100:200] = km[:100]
+    km[200:320] = np.tile(km[5], (120, 1))   # oversize vs bucket_max=64
+    cfg = greedy.ClusterConfig(hash_k=8, hash_l=4, w=50.0, radius=20.0,
+                               bucket_max=64, bucket_chunk=8)
+    key = jax.random.key(7)
+    r_dev = greedy.cluster_greedy(km, key, cfg, host_bucketize=False)
+    r_hb = greedy.cluster_greedy(km, key, cfg, host_bucketize=True)
+    r_np = greedy.cluster_greedy(km, key, cfg, use_device=False)
+    np.testing.assert_array_equal(r_dev.parent, r_hb.parent)
+    np.testing.assert_array_equal(r_dev.merged, r_hb.merged)
+    np.testing.assert_array_equal(r_dev.parent, r_np.parent)
+    np.testing.assert_array_equal(r_dev.merged, r_np.merged)
+
+
 def test_cluster_greedy_oversize_bucket(rng):
     """All-identical k-mers (one bucket >> bucket_max) cluster without
     blowup and every point lands within radius of its head."""
