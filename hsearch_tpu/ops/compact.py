@@ -10,20 +10,26 @@ in four places; this module is the consolidation (ROADMAP item 7).
 Buffer layout (1-D int32, self-describing):
 
     [0]                 kid_bits if (cid, kid) are fused into one word,
-                        else 0 (split layout)
+                        else 0 (split layout); NEGATED when the d2 row
+                        is omitted (``with_d2=False``, fused only)
     [1]                 cap  (hit capacity of this buffer)
     [2]                 total valid hits (may exceed cap -> overflow)
     [3 : 3+n_meta]      caller meta vectors (e.g. per-center hit counts)
     then, fused layout (when cid_bits + kid_bits <= 32):
         [.. : ..+cap]   (cid << kid_bits) | kid   per hit
         [.. : ..+cap]   float32 squared distance, bitcast to int32
+                        (absent when [0] < 0)
     or split layout:
         three cap-rows: cid, kid, d2-bits.
 
 The fused form ships 2 words/hit instead of the round-1 stack's 4
 (whose meta row was ~99% zero padding) — measured 1 MB -> 0.5 MB per
 512-center block at bench shapes, on a link where bytes are ~17 ms/MB
-on top of a ~30 ms per-transfer floor.  The pack is a validity-keyed
+on top of a ~30 ms per-transfer floor.  ``with_d2=False`` halves it
+again to 1 word/hit for callers that can recompute the distance on
+host from the (center, point) id pair (search/ivf.py does, from its
+host-resident k-mers — the d2 is a 25-entry table sum, cheaper to
+recompute than to ship across the tunnel).  The pack is a validity-keyed
 ``lax.sort`` (~1 ms; a cumsum+scatter variant measured slower).  When
 ``total > cap`` the packed buffer cannot hold every hit; the host
 falls back to the full (C, k) buffers, which jax transfers lazily
@@ -46,7 +52,8 @@ _HDR = 3
 def pack_hits(ids: jax.Array, d2: jax.Array, sentinel,
               meta_vecs: tuple = (), cid_offset=None,
               cap_frac: int = 4, cid_bound: int | None = None,
-              id_bound: int | None = None) -> jax.Array:
+              id_bound: int | None = None,
+              with_d2: bool = True) -> jax.Array:
     """Device-side pack of (C, k) hit slots into one flat int32 buffer.
 
     ids: (C, k) int32, invalid slots >= ``sentinel``; d2: (C, k) float32.
@@ -59,6 +66,9 @@ def pack_hits(ids: jax.Array, d2: jax.Array, sentinel,
     the shape, and ``sentinel`` when it is a python int (valid ids are
     < sentinel by contract).  cap = max(C*k // cap_frac, 1); the meta
     vectors live in the header, outside the cap rows.
+    with_d2=False omits the d2 row (fused layout only — the split
+    layout keeps it): the caller recomputes distances on host from the
+    (cid, kid) pairs; unpack_hits then returns d2=None.
     """
     c, k = ids.shape
     flat = ids.reshape(-1)
@@ -79,13 +89,18 @@ def pack_hits(ids: jax.Array, d2: jax.Array, sentinel,
     total = jnp.sum(valid).astype(jnp.int32)
     n_meta = sum(int(m.shape[0]) for m in meta_vecs)
     cap = max((c * k) // cap_frac, 1)
-    head = [jnp.full((1,), kid_bits if fused else 0, jnp.int32),
+    drop_d2 = fused and not with_d2
+    head = [jnp.full((1,), (-kid_bits if drop_d2 else kid_bits)
+                     if fused else 0, jnp.int32),
             jnp.full((1,), cap, jnp.int32), total[None], *meta_vecs]
     if fused:
         # shifts may run into the sign bit (cid_bits + kid_bits == 32)
         # or wrap for invalid slots past ``total`` — the host decodes
         # through a uint32 view and never reads past ``total``.
         word = (cid << kid_bits) | (flat & ((1 << kid_bits) - 1))
+        if drop_d2:
+            _, s_word = jax.lax.sort((skey, word), num_keys=1)
+            return jnp.concatenate(head + [s_word[:cap]])
         _, s_word, s_d2 = jax.lax.sort((skey, word, d2.reshape(-1)),
                                        num_keys=1)
         rows = [s_word[:cap]]
@@ -103,7 +118,8 @@ def unpack_hits(packed: np.ndarray, meta_lens: tuple = ()):
 
     packed: the flat buffer already on host (np.ndarray; 1-D).
     Returns (hits, metas): ``metas`` is a list of int32 vectors matching
-    ``meta_lens``; ``hits`` is (cid, kid, d2) arrays of length ``total``,
+    ``meta_lens``; ``hits`` is (cid, kid, d2) arrays of length ``total``
+    (d2 is None for a ``with_d2=False`` buffer — the caller recomputes),
     or None when the packed capacity overflowed (caller falls back to
     the full buffers).
     """
@@ -117,9 +133,10 @@ def unpack_hits(packed: np.ndarray, meta_lens: tuple = ()):
         return None, metas
     if kid_bits:
         w = out[off:off + tot].view(np.uint32)
-        cid = (w >> kid_bits).astype(np.int32)
-        kid = (w & np.uint32((1 << kid_bits) - 1)).astype(np.int32)
-        d2 = out[off + cap:off + cap + tot].view(np.float32)
+        cid = (w >> abs(kid_bits)).astype(np.int32)
+        kid = (w & np.uint32((1 << abs(kid_bits)) - 1)).astype(np.int32)
+        d2 = out[off + cap:off + cap + tot].view(np.float32) \
+            if kid_bits > 0 else None
     else:
         cid = out[off:off + tot]
         kid = out[off + cap:off + cap + tot]

@@ -225,17 +225,25 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
 
     ob_dev = jnp.asarray(order_blocks)
     db_sorted, cent, rad = _stage2(km, ob_dev)
-    return IVFIndex(db_sorted=db_sorted, order=ob_dev,
-                    block_centroid=cent, block_radius=rad, n_points=n)
+    index = IVFIndex(db_sorted=db_sorted, order=ob_dev,
+                     block_centroid=cent, block_radius=rad, n_points=n)
+    # host-side k-mer copy (int8, N x L): lets search() ship hits as ONE
+    # word each and recompute d2 on host (a 25-entry table sum) instead
+    # of transferring it.  Undeclared attribute — invisible to jit
+    # tracing; delete it on memory-tight hosts and search() falls back
+    # to the 2-word layout.
+    index.host_kmers = np.asarray(db_kmers, np.int8)
+    return index
 
 
 @functools.partial(jax.jit, static_argnames=("k_blocks", "max_hits",
                                               "use_pallas",
-                                              "approx_select", "cap_frac"))
+                                              "approx_select", "cap_frac",
+                                              "with_d2"))
 def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
                   r: jax.Array, k_blocks: int, max_hits: int,
                   use_pallas: bool = False, approx_select: bool = False,
-                  cap_frac: int = 4):
+                  cap_frac: int = 4, with_d2: bool = True):
     """One center block: prune blocks, gather survivors, exact verify.
 
     Returns (packed flat int32 buffer — ops/compact layout with
@@ -290,7 +298,7 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     # ``total`` overflows the packed capacity.
     packed = compact.pack_hits(out_ids, out_d2, n,
                                meta_vecs=(n_hits, n_alive),
-                               cap_frac=cap_frac)
+                               cap_frac=cap_frac, with_d2=with_d2)
     return packed, out_ids, out_d2
 
 
@@ -334,7 +342,8 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
            k_blocks: int = 64, max_hits: int = 256,
            center_block: int = 256, retry_overflow: bool = True,
            stats_out: dict | None = None, pack_cap_frac: int = 4,
-           approx_select: bool | None = None):
+           approx_select: bool | None = None,
+           transfer_d2: bool | None = None):
     """All (center, kmer) pairs within ``radius`` — exact, block-pruned.
 
     Returns (center_idx, kmer_idx, dist) host arrays, identical contract
@@ -368,6 +377,13 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     guarantee (and the lossless-retry contract) no longer holds, so
     pair it with a measured-recall gate.  At 2^20 (54k blocks) it is
     a LOSS; leave it off there.
+
+    ``transfer_d2=False`` (the default whenever the index carries its
+    host-side k-mer copy and the centers are k-mers) ships each packed
+    hit as ONE int32 word and recomputes d2 on host — the d2 is a
+    25-entry table sum, cheaper to recompute than to move over the
+    device->host link.  Distances match the device values to f32
+    summation-order noise (~1e-5 relative).
     """
     c_total = centers.shape[0]
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
@@ -376,6 +392,12 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     else:
         cemb_all = np.asarray(centers, np.float32)
     n = index.n_points
+    host_km = getattr(index, "host_kmers", None)
+    if transfer_d2 is None:
+        transfer_d2 = not (is_kmers and host_km is not None)
+    elif not transfer_d2 and (not is_kmers or host_km is None):
+        transfer_d2 = True       # cannot recompute -> must transfer
+    centers_np = np.asarray(centers) if not transfer_d2 else None
     use_pallas, env_approx = _env_flags()
     if approx_select is None:
         # approx block-select trades the exactness-when-k_blocks-fits
@@ -403,7 +425,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         pending.append((s, pad, _search_block(
             index, cblk, jnp.asarray(cemb, jnp.float32),
             jnp.float32(radius), k_blocks, max_hits,
-            use_pallas, approx_select, pack_cap_frac)))
+            use_pallas, approx_select, pack_cap_frac, transfer_d2)))
     max_alive = 0
     for s, pad, (packed, ids, d2) in pending:
         real = center_block - pad
@@ -422,7 +444,15 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             keep = hc0 < real                  # drop padding-center rows
             hc = hc0[keep].astype(np.int64)
             hk = hk0[keep].astype(np.int64)
-            hd = hd0[keep]
+            if hd0 is None:
+                # 1-word layout: d2 recomputed from the host k-mers
+                # (sum_l DSQ[q_l, p_l] — the exact verify metric)
+                dsqt = embedding.DISTANCE_SQUARE
+                qrows = centers_np[hc + s]
+                hd = dsqt[qrows, host_km[hk]].sum(
+                    axis=1, dtype=np.float64).astype(np.float32)
+            else:
+                hd = hd0[keep]
         else:
             # packed capacity overflowed: the full buffers transfer now
             idsh = np.array(ids)
@@ -462,7 +492,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             max_hits=2 * max_hits if over_hits else max_hits,
             center_block=cb2, retry_overflow=True,
             stats_out=sub_stats, pack_cap_frac=pack_cap_frac,
-            approx_select=approx_select)
+            approx_select=approx_select, transfer_d2=transfer_d2)
         out_c = np.concatenate([out_c[keep], redo_ids[rc]])
         out_k = np.concatenate([out_k[keep], rk])
         out_d = np.concatenate([out_d[keep], rd]).astype(np.float32)

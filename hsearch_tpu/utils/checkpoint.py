@@ -77,12 +77,23 @@ def load_index(path: str):
                                 db_kmers=jnp.asarray(z["db_kmers"]),
                                 cand_max=int(meta["cand_max"]))
     if kind == "ivf":
-        return ivf.IVFIndex(
+        index = ivf.IVFIndex(
             db_sorted=jnp.asarray(z["db_sorted"]),
             order=jnp.asarray(z["order"]),
             block_centroid=jnp.asarray(z["block_centroid"]),
             block_radius=jnp.asarray(z["block_radius"]),
             n_points=int(meta["n_points"]))
+        # rebuild the host-side k-mer copy from the (already host) npz
+        # arrays — enables the 1-word packed hit transfer (see
+        # ivf.build_index); costs one O(N) memcpy, no device traffic
+        n = index.n_points
+        order = np.asarray(z["order"]).reshape(-1)
+        db = np.asarray(z["db_sorted"]).reshape(-1, index.kmer_len)
+        hk = np.zeros((n, index.kmer_len), np.int8)
+        real = order < n
+        hk[order[real]] = db[real]
+        index.host_kmers = hk
+        return index
     if kind == "seed":
         seq = np.asarray(z["seq"])
         starts = np.asarray(z["starts"])

@@ -129,3 +129,41 @@ def test_ivf_no_retry_warns_and_misses():
                                max_hits=8, retry_overflow=False)
     gci, gki, _ = exact.search_radius(db, centers, radius)
     assert len(ci) < len(gci)                  # the cap actually binds
+
+
+def test_pack_without_d2_one_word_layout():
+    # with_d2=False (fused layout): buffer omits the d2 row, header word
+    # [0] is the NEGATED kid_bits, and unpack returns d2=None
+    rng = np.random.default_rng(3)
+    c, k, n = 8, 16, 100
+    ids = rng.integers(0, n + 1, (c, k)).astype(np.int32)
+    d2 = rng.random((c, k)).astype(np.float32)
+    full = compact.pack_hits(jnp.asarray(ids), jnp.asarray(d2), n,
+                             cap_frac=1)
+    lean = compact.pack_hits(jnp.asarray(ids), jnp.asarray(d2), n,
+                             cap_frac=1, with_d2=False)
+    cap = c * k
+    assert lean.shape[0] == full.shape[0] - cap       # one row dropped
+    assert int(np.asarray(lean)[0]) == -int(np.asarray(full)[0])
+    (fc, fk, fd), _ = compact.unpack_hits(np.asarray(full), ())
+    got, _ = compact.unpack_hits(np.asarray(lean), ())
+    lc, lk, ld = got
+    assert ld is None
+    np.testing.assert_array_equal(lc, fc)
+    np.testing.assert_array_equal(lk, fk)
+
+
+def test_pack_without_d2_split_layout_keeps_d2():
+    # split layout (ids too wide to fuse) ignores with_d2
+    n = 1 << 30
+    c, k = 1 << 8, 4
+    ids = np.full((c, k), n, np.int32)
+    ids[3, 2] = 12345
+    d2 = np.full((c, k), 2.5, np.float32)
+    packed = compact.pack_hits(jnp.asarray(ids), jnp.asarray(d2), n,
+                               cap_frac=1, with_d2=False,
+                               cid_bound=1 << 8, id_bound=1 << 30)
+    assert int(np.asarray(packed)[0]) == 0            # split
+    (hc, hk, hd), _ = compact.unpack_hits(np.asarray(packed), ())
+    assert hd is not None and hd.tolist() == [2.5]
+    assert (hc.tolist(), hk.tolist()) == ([3], [12345])

@@ -141,3 +141,55 @@ def test_packed_overflow_fallback(rng):
     assert len(ci) == c * n
     gci, gki, gd = exact.search_radius(db, centers, radius, max_hits=n)
     assert set(zip(ci, ki)) == set(zip(gci, gki))
+
+
+def test_transfer_d2_off_matches_on(rng):
+    # 1-word packed layout + host d2 recompute == 2-word layout
+    n, c, l = 4096, 24, 25
+    db, centers = _family_db(rng, n, c, l)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
+    assert idx.host_kmers is not None
+    a = ivf.search(idx, centers, 35.0, k_blocks=64, max_hits=512,
+                   retry_overflow=False, transfer_d2=True)
+    b = ivf.search(idx, centers, 35.0, k_blocks=64, max_hits=512,
+                   retry_overflow=False, transfer_d2=False)
+    assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
+    da = {(x, y): v for x, y, v in zip(*a)}
+    for x, y, v in zip(*b):
+        np.testing.assert_allclose(v, da[(x, y)], atol=1e-3)
+
+
+def test_transfer_d2_defaults(rng):
+    # default drops the d2 row only when it can be recomputed: host
+    # k-mers present AND integer centers; float-point centers or a
+    # stripped index must transfer d2
+    n, c, l = 2048, 8, 25
+    db, centers = _family_db(rng, n, c, l)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
+    ref = ivf.search(idx, centers, 35.0, k_blocks=idx.num_blocks,
+                     max_hits=1024)
+    # float centers: recompute impossible -> falls back internally
+    from hsearch_tpu.core import embedding
+    pts = embedding.embed_kmers(centers)
+    viapts = ivf.search(idx, pts, 35.0, k_blocks=idx.num_blocks,
+                        max_hits=1024, transfer_d2=False)
+    assert set(zip(ref[0], ref[1])) == set(zip(viapts[0], viapts[1]))
+    # stripped index (no host copy): same answer via the 2-word layout
+    del idx.host_kmers
+    stripped = ivf.search(idx, centers, 35.0, k_blocks=idx.num_blocks,
+                          max_hits=1024)
+    assert set(zip(ref[0], ref[1])) == set(zip(stripped[0], stripped[1]))
+
+
+def test_checkpoint_restores_host_kmers(rng, tmp_path):
+    from hsearch_tpu.utils import checkpoint as ckpt
+    n, c, l = 2048, 8, 25
+    db, centers = _family_db(rng, n, c, l)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=32)
+    p = str(tmp_path / "ivf.npz")
+    ckpt.save_index(p, idx)
+    idx2 = ckpt.load_index(p)
+    np.testing.assert_array_equal(idx2.host_kmers, db.astype(np.int8))
+    a = ivf.search(idx, centers, 35.0, k_blocks=64, retry_overflow=False)
+    b = ivf.search(idx2, centers, 35.0, k_blocks=64, retry_overflow=False)
+    assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
