@@ -234,9 +234,18 @@ def _adaptive():
     # headline size gets the lion's share: tunnel-slow sessions inflate
     # everything ~3x, and a warm-cache 2^20 run needs ~150 s healthy /
     # ~430 s slow, while the 2^17 fallback is cheap either way.
-    for log2n, deadline in ((20, 430), (17, 100)):
+    # the final rung forces CPU: a hung device tunnel (observed: even
+    # jax.devices() can block forever) must degrade to a small measured
+    # number, never to no output at all
+    skip_device = False
+    for log2n, deadline, plat in ((20, 430, None), (17, 100, None),
+                                  (16, 110, "cpu")):
+        if skip_device and plat is None:
+            continue
         env = dict(os.environ, _HSEARCH_BENCH_INNER="1",
                    HSEARCH_BENCH_N=str(log2n))
+        if plat:
+            env["HSEARCH_PLATFORM"] = plat
         child = subprocess.Popen([sys.executable, "-u", __file__],
                                  env=env, stdout=subprocess.PIPE,
                                  stderr=subprocess.PIPE, text=True)
@@ -247,6 +256,10 @@ def _adaptive():
             child.communicate()
             print(f"# n=2^{log2n} attempt timed out after {deadline}s; "
                   "retrying smaller", file=sys.stderr, flush=True)
+            # a deadline kill on the device backend usually means the
+            # tunnel itself is hung — don't burn the remaining budget
+            # on more device rungs
+            skip_device = True
             continue
         sys.stderr.write(err)
         if child.returncode == 0 and out.strip():
@@ -254,8 +267,10 @@ def _adaptive():
             return
         print(f"# n=2^{log2n} attempt failed rc={child.returncode}",
               file=sys.stderr, flush=True)
-    # last resort: in-process tiny run
+    # last resort: in-process tiny run, also CPU (the device backend
+    # already failed three rungs by now)
     os.environ["HSEARCH_BENCH_N"] = "13"
+    os.environ["HSEARCH_PLATFORM"] = "cpu"
     main()
 
 

@@ -9,6 +9,16 @@ where explicit fusion/placement wins over XLA's defaults:
     same VMEM tile — the (C, B) distance matrix never round-trips HBM in
     f32; only the masked key matrix used for top-k selection is written.
 
+  * ``ptable_verify``: the P-table candidate verify
+    d2[c, m] = sum_l ptab[c, l, cand[c, m, l]] as a select-accumulate
+    over the 20 amino acids, entirely in VMEM.  The XLA fast path
+    (``ops/distance.ptable_distances_mxu``) one-hots the candidates to
+    (C, chunk, 20L) f32 — 20x the candidate bytes of HBM traffic per
+    chunk; this kernel reads each int8 candidate byte once and writes
+    only the (C, M) result.  Work per element is exactly L selects+adds
+    on the VPU (no 20x MAC inflation), laid out (L sublanes, M lanes)
+    so the reduction is lane-preserving.
+
 Kernels follow the pallas_guide patterns: 128-aligned tiles, explicit
 VMEM block specs, ``preferred_element_type`` on every dot.  On CPU (unit
 tests, virtual meshes) they run in interpreter mode automatically.
@@ -88,3 +98,52 @@ def sq_distance_prune(q_emb: jax.Array, centroids: jax.Array,
         interpret=interpret,
     )(qp, cp, q2, c2, radp, jnp.asarray(r, jnp.float32).reshape(1, 1))
     return out[:c, :b]
+
+
+_TM = 512   # candidate tile (lane-aligned; M is padded to a multiple)
+
+
+def _ptable_verify_kernel(ptab_ref, cand_ref, out_ref):
+    # ptab tile (1, L, 20) f32; cand tile (1, L, TM) int8 -> out (1, TM)
+    ct = cand_ref[0].astype(jnp.int32)               # (L, TM)
+    val = jnp.zeros(ct.shape, jnp.float32)
+    for a in range(20):
+        pa = ptab_ref[0, :, a:a + 1]                 # (L, 1) f32
+        val = val + jnp.where(ct == a, pa, 0.0)
+    # each val element is exactly ONE table entry (the zero adds are
+    # exact in f32), so the lane-preserving sum below is an f32 sum of
+    # the same L entries the oracle adds — equal up to addition order
+    out_ref[0, :] = jnp.sum(val, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ptable_verify(ptab: jax.Array, cand: jax.Array,
+                  interpret: bool | None = None) -> jax.Array:
+    """(C, L, 20) P-tables x (C, M, L) int8 candidates -> (C, M) d2.
+
+    Drop-in replacement for ``ops/distance.ptable_distances_mxu`` (same
+    contract as ``ptable_distances``): per (query, candidate) the
+    squared distance is the sum of L table entries.  The candidates are
+    transposed once to (C, L, M) so the kernel tiles are (L sublane,
+    M lane) and the per-tile reduction never crosses lanes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    c, m, l = cand.shape
+    candt = jnp.transpose(cand.astype(jnp.int8), (0, 2, 1))   # (C, L, M)
+    pad = (-m) % _TM
+    if pad:
+        candt = jnp.pad(candt, ((0, 0), (0, 0), (0, pad)))
+    mp = m + pad
+    out = pl.pallas_call(
+        _ptable_verify_kernel,
+        out_shape=jax.ShapeDtypeStruct((c, mp), jnp.float32),
+        grid=(c, mp // _TM),
+        in_specs=[
+            pl.BlockSpec((1, l, 20), lambda i, j: (i, 0 * j, 0 * j)),
+            pl.BlockSpec((1, l, _TM), lambda i, j: (i, 0 * j, j)),
+        ],
+        out_specs=pl.BlockSpec((1, _TM), lambda i, j: (i, j)),
+        interpret=interpret,
+    )(jnp.asarray(ptab, jnp.float32), candt)
+    return out[:, :m]

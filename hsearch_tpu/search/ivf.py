@@ -282,7 +282,11 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     gids = jnp.take(index.order, safe_ids, axis=0).reshape(-1, kb * bs)
     gids = jnp.where(jnp.repeat(blk_alive, bs, axis=1), gids, n)
     ptab = _center_ptables(centers, l)
-    d2 = distance.ptable_distances_mxu(ptab, cand)          # (C, kb*bs)
+    if use_pallas:
+        from ..ops import pallas_kernels
+        d2 = pallas_kernels.ptable_verify(ptab, cand)       # (C, kb*bs)
+    else:
+        d2 = distance.ptable_distances_mxu(ptab, cand)      # (C, kb*bs)
     hits = (gids < n) & (d2 <= r * r)
     n_hits = jnp.sum(hits, axis=1).astype(jnp.int32)
     d2m = jnp.where(hits, d2, jnp.inf)

@@ -32,3 +32,18 @@ def test_prune_kernel_in_ivf(rng, monkeypatch):
     gci, gki, _ = exact.search_radius(db, centers, 25.0)
     assert set(zip(ci, ki)) == set(zip(gci, gki))
     jax.clear_caches()
+
+
+def test_ptable_verify_matches_oracle(rng):
+    import jax.numpy as jnp
+    c, m, l = 6, 1000, 25
+    ptab = rng.random((c, l, 20)).astype(np.float32)
+    cand = rng.integers(0, 20, (c, m, l)).astype(np.int8)
+    got = np.asarray(pk.ptable_verify(jnp.asarray(ptab), jnp.asarray(cand)))
+    want = np.asarray(D.ptable_distances(jnp.asarray(ptab),
+                                         jnp.asarray(cand)))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-4)
+    # and against the MXU fast path (the production default)
+    mxu = np.asarray(D.ptable_distances_mxu(jnp.asarray(ptab),
+                                            jnp.asarray(cand)))
+    np.testing.assert_allclose(got, mxu, rtol=2e-6, atol=1e-4)
