@@ -137,12 +137,12 @@ class ProteinSearcher:
         self.seq = np.asarray(seq, np.int32)
         self.starts = np.asarray(starts, np.int64)
         self.groups = None if groups is None else np.asarray(groups)
-        self.index = seed_index.build_index(self.seq, self.starts,
-                                            protein_groups=self.groups)
         # host probe view: the seed probe runs as a ragged numpy pass —
         # O(candidates) instead of a (Q, cand_max) slab that measured
-        # ~97% empty (and, on TPU, crossed the link) per chunk
-        self._hview = seed_index.host_view(self.index)
+        # ~97% empty (and, on TPU, crossed the link) per chunk; built
+        # together with the index so nothing round-trips the device
+        self.index, self._hview = seed_index.build_index_and_view(
+            self.seq, self.starts, protein_groups=self.groups)
         # subject array padded to a coarse length grid (1/4-pow2 steps)
         # so extension programs are shared across searchers of similar
         # size — per-table exact-length shapes each recompiled the
@@ -392,18 +392,35 @@ class ProteinSearcher:
         db_ = np.fromiter((h.d_beg for h in hits), np.int64, n)
         qlo = self.starts[lq] + qb - 1
         dlo = self.starts[ld] + db_ - 1
-        total = int(ln.sum())
-        first = np.cumsum(ln) - ln
-        offs = np.arange(total, dtype=np.int64) - np.repeat(first, ln)
-        qi = self.seq[np.repeat(qlo, ln) + offs]
-        di = self.seq[np.repeat(dlo, ln) + offs]
-        qbuf, dbuf, ibuf = _decode_bytes(qi), _decode_bytes(di), \
-            _info_bytes(qi, di)
-        for i, h in enumerate(hits):
-            a, b = int(first[i]), int(first[i] + ln[i])
-            h.q_aln = qbuf[a:b].decode()
-            h.d_aln = dbuf[a:b].decode()
-            h.info = ibuf[a:b].decode()
+        # chunked over ~16M residues: the index arrays amplify each
+        # rendered residue ~16x in int64 temporaries, so one
+        # all-corpus-hits pass can reach tens of GB on dense-homology
+        # corpora — chunking keeps the vectorized win with bounded
+        # memory (a few hundred MB per pass)
+        bound = np.searchsorted(np.cumsum(ln), np.arange(
+            0, int(ln.sum()) + 1, 1 << 24)[1:], side="left") + 1
+        start = 0
+        for stop in np.unique(np.append(bound, n)):
+            stop = int(min(stop, n))
+            if stop <= start:
+                continue
+            sl = slice(start, stop)
+            lns = ln[sl]
+            total = int(lns.sum())
+            first = np.cumsum(lns) - lns
+            offs = np.arange(total, dtype=np.int64) \
+                - np.repeat(first, lns)
+            qi = self.seq[np.repeat(qlo[sl], lns) + offs]
+            di = self.seq[np.repeat(dlo[sl], lns) + offs]
+            qbuf, dbuf, ibuf = _decode_bytes(qi), _decode_bytes(di), \
+                _info_bytes(qi, di)
+            for i in range(stop - start):
+                a, b = int(first[i]), int(first[i] + lns[i])
+                h = hits[start + i]
+                h.q_aln = qbuf[a:b].decode()
+                h.d_aln = dbuf[a:b].decode()
+                h.info = ibuf[a:b].decode()
+            start = stop
 
     def _assemble_all(self, query_local: np.ndarray, res, dpid):
         """Batched CalRes over every query's pairs at once.

@@ -175,27 +175,34 @@ class HostSeedView:
     grouped: bool
 
 
+def _view_keys(sc: np.ndarray, group_starts: np.ndarray | None):
+    """The host probe keys: raw uint32 codes, or the composite
+    ``(group << 32) | code`` uint64 for a group-partitioned index."""
+    sc = sc.astype(np.uint32)
+    if group_starts is None:
+        return sc
+    gid = (np.searchsorted(group_starts, np.arange(len(sc)),
+                           side="right") - 1).astype(np.uint64)
+    return (gid << np.uint64(32)) | sc.astype(np.uint64)
+
+
 def host_view(index: SeedIndex) -> HostSeedView:
-    """One-time host projection of a SeedIndex (a no-copy view on the CPU
-    backend; a single small d2h on TPU — the probe itself then runs
-    entirely on host, so the (Q, cand_max) candidate matrix that was
-    ~97% empty for typical seeds is never materialized or transferred)."""
-    sc = np.asarray(index.sorted_codes).astype(np.uint32)
+    """Host projection of an existing (device) SeedIndex.
+
+    Prefer ``build_index_and_view`` when building fresh: it assembles
+    the view from the build's own host arrays, whereas this reads the
+    device arrays back (a no-copy view on the CPU backend, but a real
+    O(index) device->host transfer on TPU)."""
+    sc = np.asarray(index.sorted_codes)
     pos = np.asarray(index.positions).astype(np.int64)
     if index.g10_at is not None:
         g10 = np.asarray(index.g10_at)
     else:
         g10 = g10_table(np.asarray(index.seq), np.asarray(index.starts))
-    grouped = index.group_starts is not None
-    if grouped:
-        gs = np.asarray(index.group_starts)
-        gid = (np.searchsorted(gs, np.arange(len(sc)),
-                               side="right") - 1).astype(np.uint64)
-        keys = (gid << np.uint64(32)) | sc.astype(np.uint64)
-    else:
-        keys = sc
-    return HostSeedView(keys=keys, positions=pos, g10_at=g10,
-                        grouped=grouped)
+    gs = None if index.group_starts is None \
+        else np.asarray(index.group_starts)
+    return HostSeedView(keys=_view_keys(sc, gs), positions=pos,
+                        g10_at=g10, grouped=gs is not None)
 
 
 def probe_host(view: HostSeedView, qcodes: np.ndarray, qgrp10: np.ndarray,
@@ -268,14 +275,25 @@ def build_index(seq: np.ndarray, starts: np.ndarray,
     code slice so probes stay group-local (see SeedIndex docstring).
     Group ids must be dense 0..G-1.
     """
-    seqd = jnp.asarray(seq, jnp.int32)
-    startsd = jnp.asarray(starts, jnp.int32)
+    return build_index_and_view(seq, starts, protein_groups)[0]
+
+
+def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
+                         protein_groups: np.ndarray | None = None
+                         ) -> tuple[SeedIndex, HostSeedView]:
+    """``build_index`` plus the HostSeedView for ``probe_host``.
+
+    The view is assembled from the build's own host-side intermediates
+    — ``host_view(build_index(...))`` read the freshly-uploaded arrays
+    straight back off the device, seconds of pure transfer per searcher
+    on a remote-TPU link for data that was on host one line earlier.
+    """
     # codes on host (one numpy pass — no device compile per index size);
     # db entries need only the valid 6-mer: shorter suffixes PAD-match
     codes, valid6, _, _ = host_codes(seq, starts)
     pos = np.nonzero(valid6)[0].astype(np.int32)
     c = codes[pos]
-    group_starts = None
+    gs = None
     if protein_groups is None:
         order = np.argsort(c, kind="stable")
     else:
@@ -285,12 +303,21 @@ def build_index(seq: np.ndarray, starts: np.ndarray,
         g = pg[pid]
         order = np.lexsort((c, g))
         counts = np.bincount(g, minlength=n_groups)
-        group_starts = jnp.asarray(
-            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
-    return SeedIndex(sorted_codes=jnp.asarray(c[order]),
-                     positions=jnp.asarray(pos[order].astype(np.int32)),
-                     seq=seqd, starts=startsd, group_starts=group_starts,
-                     g10_at=jnp.asarray(g10_table(seq, starts)))
+        gs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    c_sorted = c[order]
+    pos_sorted = pos[order].astype(np.int32)
+    g10 = g10_table(seq, starts)
+    index = SeedIndex(
+        sorted_codes=jnp.asarray(c_sorted),
+        positions=jnp.asarray(pos_sorted),
+        seq=jnp.asarray(seq, jnp.int32),
+        starts=jnp.asarray(starts, jnp.int32),
+        group_starts=None if gs is None else jnp.asarray(gs),
+        g10_at=jnp.asarray(g10))
+    view = HostSeedView(keys=_view_keys(c_sorted, gs),
+                        positions=pos_sorted.astype(np.int64),
+                        g10_at=g10, grouped=gs is not None)
+    return index, view
 
 
 @jax.jit
@@ -336,6 +363,11 @@ def probe(index: SeedIndex, qcodes: jax.Array, qgrp10: jax.Array,
     Invalid slots hold -1.  ``n_over`` counts buckets whose true size
     exceeded cand_max (truncated — the caller should warn).
     """
+    if index.group_starts is not None:
+        # grouped codes sort by (group, code): a flat searchsorted over
+        # them returns meaningless ranges — fail loudly, not wrongly
+        raise ValueError("probe() does not support a group-partitioned "
+                         "index; use probe_host with qgroups")
     sc = index.sorted_codes
     lo = jnp.searchsorted(sc, qcodes, side="left")
     hi = jnp.searchsorted(sc, qcodes, side="right")

@@ -294,24 +294,27 @@ def _bucketize_device(codes: jax.Array, active: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "s_rows"))
-def _elect_apply_slab(km_dev: jax.Array, arena: jax.Array, start,
-                      snapshot: jax.Array, parent_pad: jax.Array,
+def _elect_apply_slab(km_pad: jax.Array, arena: jax.Array, start,
+                      state_pad: jax.Array, parent_pad: jax.Array,
                       merged_pad: jax.Array, radius,
                       chunk: int, s_rows: int):
     """One slab of a fully device-resident round: slice s_rows bucket
     rows out of the class arena (traced start — one program per shape,
     not per offset), run the leader election against the round-start
-    ``snapshot``, and fold the result into the (N+1,)-padded parent /
+    state, and fold the result into the (N+1,)-padded parent /
     next-state vectors (slot N absorbs sentinel writes; buckets are
     disjoint within a round, so slab updates never collide).  Nothing
-    crosses to host — slabs chain asynchronously on device."""
-    n, l = km_dev.shape
+    crosses to host — slabs chain asynchronously on device.
+
+    km_pad: (N+1, L) k-mers with a zero sentinel row; state_pad:
+    (N+1,) round-start state snapshot with state_pad[N] == 2.  Both
+    are built ONCE by the caller (km_pad per run, state_pad per
+    round) — building them here re-materialized an O(N*L) HBM copy
+    on every slab dispatch."""
+    n, l = km_pad.shape[0] - 1, km_pad.shape[1]
     c = arena.shape[1]
     bids = jax.lax.dynamic_slice(arena, (start, 0), (s_rows, c))
     bval = bids < n
-    km_pad = jnp.concatenate([km_dev, jnp.zeros((1, l), jnp.int32)])
-    state_pad = jnp.concatenate(
-        [snapshot, jnp.full((1,), 2, snapshot.dtype)])
     ids_c = bids.reshape(s_rows // chunk, chunk, c)
     val_c = bval.reshape(s_rows // chunk, chunk, c)
 
@@ -341,6 +344,12 @@ def _slab_geometry(c: int, nrows: int, config: ClusterConfig):
     while a sparse class costs only ~2x its real rows, not a full
     slab of sentinel padding."""
     ck = config.bucket_chunk * (config.bucket_max // c) ** 2
+    # round ck UP to a power of two: slab sizes are then always powers
+    # of two (or ck-multiples below one), so they never exceed the
+    # next-pow2 arena caps of _class_caps — a non-pow2 bucket_max
+    # (e.g. 100) otherwise yields ck values whose slabs overshoot the
+    # arena and fail the dynamic_slice at trace time
+    ck = 1 << max(ck - 1, 1).bit_length()
     ck = min(ck, 1 << max(0, (max(nrows, 1) - 1).bit_length()))
     s_full = ck * max(1, config.slab_elems // (ck * c))
     units = -(-nrows // ck)
@@ -392,6 +401,8 @@ def cluster_greedy(kmers: np.ndarray, key: jax.Array,
     n, l = kmers.shape
     kmers = np.asarray(kmers)
     km_dev = jnp.asarray(kmers, jnp.int32)
+    km_pad_dev = jnp.concatenate([km_dev, jnp.zeros((1, l), jnp.int32)]) \
+        if use_device else None
     merged = np.zeros(n, np.uint8)
     parent = np.full(n, -1, np.int64)
     keys = jax.random.split(key, config.hash_l)
@@ -412,7 +423,8 @@ def cluster_greedy(kmers: np.ndarray, key: jax.Array,
             # start state snapshot is exact for every bucket.  Dispatch
             # every slab of every size class first, then harvest — the
             # transfers overlap the remaining compute.
-            merged_dev = jnp.asarray(merged)
+            state_pad_dev = jnp.concatenate(
+                [jnp.asarray(merged), jnp.full((1,), 2, jnp.uint8)])
             pending = []
             for ids, valid in mats:
                 c = ids.shape[1]
@@ -427,8 +439,8 @@ def cluster_greedy(kmers: np.ndarray, key: jax.Array,
                         bval = np.concatenate(
                             [bval, np.zeros((npad, c), bool)])
                     par_dev = _elect_round(
-                        km_dev, jnp.asarray(bids), jnp.asarray(bval),
-                        merged_dev, jnp.float32(config.radius), ck)
+                        km_pad_dev, jnp.asarray(bids), jnp.asarray(bval),
+                        state_pad_dev, jnp.float32(config.radius), ck)
                     pending.append((bids, par_dev))
             for bids, par_dev in pending:
                 par = np.asarray(par_dev)
@@ -476,6 +488,7 @@ def _cluster_greedy_device(kmers: np.ndarray, key: jax.Array,
     """
     n, l = kmers.shape
     km_dev = jnp.asarray(np.asarray(kmers), jnp.int32)
+    km_pad = jnp.concatenate([km_dev, jnp.zeros((1, l), jnp.int32)])
     caps = _class_caps(n, config.bucket_max)
     classes = _class_sizes(config.bucket_max)
     parent_pad = jnp.full((n + 1,), -1, jnp.int32)
@@ -487,6 +500,9 @@ def _cluster_greedy_device(kmers: np.ndarray, key: jax.Array,
                               config.hash_k, 1, config.w)
         codes = pstable.hash_codes(km_dev, params, is_kmers=True)[0]
         snapshot = merged_pad[:n]          # round-start state, immutable
+        # slot N pinned to 2: sentinel gathers read "merged" (slab
+        # writes may have left junk there)
+        state_pad = merged_pad.at[n].set(2)
         arenas, rows_dev = _bucketize_device(codes, snapshot != 2,
                                              config.bucket_max, caps)
         rows = np.asarray(rows_dev)        # the round's only d2h
@@ -500,7 +516,7 @@ def _cluster_greedy_device(kmers: np.ndarray, key: jax.Array,
                 # overlap re-elects earlier rows against the same
                 # snapshot — identical parents, idempotent writes
                 parent_pad, merged_pad = _elect_apply_slab(
-                    km_dev, arenas[ci], jnp.int32(s), snapshot,
+                    km_pad, arenas[ci], jnp.int32(s), state_pad,
                     parent_pad, merged_pad, radius,
                     chunk=ck, s_rows=s_rows)
     parent = np.asarray(parent_pad[:n]).astype(np.int64)
@@ -509,19 +525,17 @@ def _cluster_greedy_device(kmers: np.ndarray, key: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _elect_round(km_pad_free, ids, valid, merged, radius, chunk: int):
+def _elect_round(km_pad, ids, valid, state_pad, radius, chunk: int):
     """All of a round's bucket elections in one program.
 
-    km_pad_free: (N, L) int32 k-mers (device-resident); ids: (NB, B)
-    global ids with sentinel N; merged: (N,) uint8 state.  Scans chunks
-    of buckets, gathering k-mers and state on device; returns (NB, B)
+    km_pad: (N+1, L) int32 k-mers with a zero sentinel row (built once
+    per run by the caller — building it here re-copied O(N*L) HBM per
+    slab call); ids: (NB, B) global ids with sentinel N; state_pad:
+    (N+1,) uint8 state with state_pad[N] == 2.  Scans chunks of
+    buckets, gathering k-mers and state on device; returns (NB, B)
     parent slots (or -1).
     """
-    n, l = km_pad_free.shape
-    km_pad = jnp.concatenate(
-        [km_pad_free, jnp.zeros((1, l), jnp.int32)], axis=0)
-    state_pad = jnp.concatenate(
-        [merged, jnp.full((1,), 2, merged.dtype)], axis=0)
+    l = km_pad.shape[1]
     nb = ids.shape[0]
     ids_c = ids.reshape(nb // chunk, chunk, -1)
     valid_c = valid.reshape(nb // chunk, chunk, -1)

@@ -332,14 +332,28 @@ def autotune_k_blocks(index: IVFIndex, sample_centers: np.ndarray,
     return min(max(candidates), index.num_blocks)
 
 
-def _index_kmers(index: IVFIndex) -> np.ndarray:
-    """Recover the original (N, L) k-mer array from the block layout."""
-    order = np.asarray(index.order).reshape(-1)
-    db = np.asarray(index.db_sorted).reshape(-1, index.kmer_len)
-    out = np.zeros((index.n_points, index.kmer_len), np.int32)
-    real = order < index.n_points
+def unsort_blocks(order, db_sorted, n: int, l: int,
+                  dtype=np.int32) -> np.ndarray:
+    """Invert the cell-sorted block layout: scatter rows back to their
+    original ids (padding rows carry the sentinel id ``n`` and drop).
+    Shared by `_index_kmers` and checkpoint.load_index so the layout
+    inversion has exactly one implementation."""
+    order = np.asarray(order).reshape(-1)
+    db = np.asarray(db_sorted).reshape(-1, l)
+    out = np.zeros((n, l), dtype)
+    real = order < n
     out[order[real]] = db[real]
     return out
+
+
+def _index_kmers(index: IVFIndex) -> np.ndarray:
+    """Recover the original (N, L) k-mer array from the block layout."""
+    host_km = getattr(index, "host_kmers", None)
+    if host_km is not None:
+        # already inverted at build/load time — no device readback
+        return host_km.astype(np.int32)
+    return unsort_blocks(index.order, index.db_sorted,
+                         index.n_points, index.kmer_len)
 
 
 def search(index: IVFIndex, centers: np.ndarray, radius: float,

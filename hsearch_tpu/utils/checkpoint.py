@@ -86,13 +86,9 @@ def load_index(path: str):
         # rebuild the host-side k-mer copy from the (already host) npz
         # arrays — enables the 1-word packed hit transfer (see
         # ivf.build_index); costs one O(N) memcpy, no device traffic
-        n = index.n_points
-        order = np.asarray(z["order"]).reshape(-1)
-        db = np.asarray(z["db_sorted"]).reshape(-1, index.kmer_len)
-        hk = np.zeros((n, index.kmer_len), np.int8)
-        real = order < n
-        hk[order[real]] = db[real]
-        index.host_kmers = hk
+        index.host_kmers = ivf.unsort_blocks(
+            z["order"], z["db_sorted"], index.n_points, index.kmer_len,
+            np.int8)
         return index
     if kind == "seed":
         seq = np.asarray(z["seq"])

@@ -245,6 +245,48 @@ def test_cluster_greedy_device_bucketize_three_way(rng):
     np.testing.assert_array_equal(r_dev.merged, r_np.merged)
 
 
+def test_slab_geometry_fits_class_caps():
+    """Every slab the dispatch loop can issue fits the static arena cap,
+    including non-pow2 bucket_max (ck is then not naturally a power of
+    two; unquantized it overshot the cap and failed the dynamic_slice
+    at trace time — e.g. bucket_max=100, 30000 size-2 buckets)."""
+    from hsearch_tpu.cluster.greedy import (_class_caps, _class_sizes,
+                                            _slab_geometry, ClusterConfig)
+    for bucket_max in (24, 64, 100, 256, 257):
+        cfg = greedy.ClusterConfig(bucket_max=bucket_max)
+        for n in (7, 1000, 60000, 1 << 20):
+            caps = _class_caps(n, bucket_max)
+            for cap, c in zip(caps, _class_sizes(bucket_max)):
+                lo = max(c // 4, 1)
+                worst = n // (lo + 1) + 1
+                if c == bucket_max:
+                    worst += n // bucket_max + 1
+                for nrows in {1, 2, worst // 2, worst}:
+                    if nrows < 1:
+                        continue
+                    ck, s_rows = _slab_geometry(c, nrows, cfg)
+                    assert s_rows % ck == 0
+                    assert s_rows <= cap, (bucket_max, n, c, nrows,
+                                           ck, s_rows, cap)
+
+
+def test_cluster_greedy_device_non_pow2_bucket_max(rng):
+    """Device-resident path == host paths for a non-pow2 bucket_max and
+    a pair-heavy corpus (the config that crashed the slab slicing)."""
+    km = _random_kmers(rng, 300, 8)
+    km[150:300] = km[:150]                   # 150 size-2 buckets
+    cfg = greedy.ClusterConfig(hash_k=8, hash_l=3, w=50.0, radius=20.0,
+                               bucket_max=100, bucket_chunk=8)
+    key = jax.random.key(11)
+    r_dev = greedy.cluster_greedy(km, key, cfg, host_bucketize=False)
+    r_hb = greedy.cluster_greedy(km, key, cfg, host_bucketize=True)
+    r_np = greedy.cluster_greedy(km, key, cfg, use_device=False)
+    np.testing.assert_array_equal(r_dev.parent, r_hb.parent)
+    np.testing.assert_array_equal(r_dev.merged, r_hb.merged)
+    np.testing.assert_array_equal(r_dev.parent, r_np.parent)
+    np.testing.assert_array_equal(r_dev.merged, r_np.merged)
+
+
 def test_cluster_greedy_oversize_bucket(rng):
     """All-identical k-mers (one bucket >> bucket_max) cluster without
     blowup and every point lands within radius of its head."""
