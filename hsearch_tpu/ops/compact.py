@@ -31,9 +31,12 @@ host from the (center, point) id pair (search/ivf.py does, from its
 host-resident k-mers — the d2 is a 25-entry table sum, cheaper to
 recompute than to ship across the tunnel).  The pack is a validity-keyed
 ``lax.sort`` (~1 ms; a cumsum+scatter variant measured slower).  When
-``total > cap`` the packed buffer cannot hold every hit; the host
-falls back to the full (C, k) buffers, which jax transfers lazily
-only in that case.
+``total > cap`` the packed buffer cannot hold every hit; callers
+either re-dispatch with a larger cap (search/ivf.py escalates 4x per
+step — a recompute is tens of ms on chip where the full-array pull is
+MBs over the link; cap_frac=1 always fits since top-k bounds hits to
+k/center) or fall back to the full (C, k) buffers, which jax
+transfers lazily only in that case.
 
 No reference counterpart — the reference writes hits to text files from
 host RAM (motif_both_points.cpp:239-242); this layer exists because the

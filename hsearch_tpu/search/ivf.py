@@ -402,6 +402,11 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     25-entry table sum, cheaper to recompute than to move over the
     device->host link.  Distances match the device values to f32
     summation-order noise (~1e-5 relative).
+
+    ``pack_cap_frac`` divides the packed transfer buffer's capacity
+    (cap = C*max_hits // cap_frac).  A block whose hits overflow the
+    cap re-dispatches with a 4x capacity (cap_frac=1 always fits) —
+    overflow costs a recompute, never the multi-MB full-array pull.
     """
     c_total = centers.shape[0]
     is_kmers = np.issubdtype(np.asarray(centers).dtype, np.integer)
@@ -440,15 +445,31 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
             cemb = np.pad(cemb, ((0, pad), (0, 0)))
         cblk = jnp.asarray(blk, jnp.int32 if is_kmers else jnp.float32)
-        pending.append((s, pad, _search_block(
-            index, cblk, jnp.asarray(cemb, jnp.float32),
+        cemb_dev = jnp.asarray(cemb, jnp.float32)
+        pending.append((s, pad, cblk, cemb_dev, _search_block(
+            index, cblk, cemb_dev,
             jnp.float32(radius), k_blocks, max_hits,
             use_pallas, approx_select, pack_cap_frac, transfer_d2)))
     max_alive = 0
-    for s, pad, (packed, ids, d2) in pending:
+    for s, pad, cblk, cemb_dev, (packed, ids, d2) in pending:
         real = center_block - pad
         hits, (n_hits, n_alive) = compact.unpack_hits(
             np.asarray(packed), (center_block, center_block))
+        # packed-capacity escalation: when the block's hits overflow the
+        # packed buffer, re-dispatch the SAME block with a 4x capacity
+        # instead of pulling the full (C, max_hits) id+d2 arrays — the
+        # recompute is tens of ms on chip while the full-array fallback
+        # is 4 MB over a ~10 MB/s link.  cap_frac=1 equals the full
+        # hit capacity (top-k yields <= max_hits/center), so the ladder
+        # always terminates with a fitting packed transfer.
+        cap = pack_cap_frac
+        while hits is None and cap > 1:
+            cap = max(1, cap // 4)
+            packed, ids, d2 = _search_block(
+                index, cblk, cemb_dev, jnp.float32(radius), k_blocks,
+                max_hits, use_pallas, approx_select, cap, transfer_d2)
+            hits, (n_hits, n_alive) = compact.unpack_hits(
+                np.asarray(packed), (center_block, center_block))
         bad = ((n_alive[:real] > k_blocks)
                | (n_hits[:real] > max_hits))
         over_blocks += int((n_alive[:real] > k_blocks).sum())

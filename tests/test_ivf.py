@@ -143,6 +143,29 @@ def test_packed_overflow_fallback(rng):
     assert set(zip(ci, ki)) == set(zip(gci, gki))
 
 
+def test_packed_cap_escalation_ladder(rng):
+    """An absurdly tight pack cap escalates 4x at a time (never the
+    full-array fallback) and stays lossless at every rung."""
+    n, c, l = 512, 16, 10
+    db, _ = _family_db(rng, n, c, l, family_size=8)
+    centers = db[rng.choice(n, c, replace=False)]
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=16)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ci, ki, d = ivf.search(idx, centers, 1e3,
+                               k_blocks=idx.num_blocks, max_hits=n,
+                               pack_cap_frac=4096)   # cap ~ 2 hits
+        ci1, ki1, d1 = ivf.search(idx, centers, 1e3,
+                                  k_blocks=idx.num_blocks, max_hits=n,
+                                  pack_cap_frac=1)
+    assert len(ci) == c * n
+    assert set(zip(ci, ki)) == set(zip(ci1, ki1))
+    dd = {(x, y): v for x, y, v in zip(ci1, ki1, d1)}
+    for x, y, v in zip(ci, ki, d):
+        np.testing.assert_allclose(v, dd[(x, y)], atol=1e-4)
+
+
 def test_transfer_d2_off_matches_on(rng):
     # 1-word packed layout + host d2 recompute == 2-word layout
     n, c, l = 4096, 24, 25
