@@ -23,7 +23,9 @@ import sys
 
 import numpy as np
 
-N_POINTS = 1536
+# MP_CHECK_N overrides (tests exercise an uneven N: shards then carry
+# ragged padding rows through the whole build/search/merge path)
+N_POINTS = int(os.environ.get("MP_CHECK_N", "1536"))
 KMER_LEN = 8
 RADIUS = 22.0
 N_CENTERS = 24

@@ -64,6 +64,14 @@ def test_two_process_cluster_matches_single_host():
     _mp_check.run_local_cluster(nproc=2, ndev_per_proc=2)
 
 
+def test_two_process_cluster_uneven_shards(monkeypatch):
+    """Same real 2-process cluster with an N that does not divide the
+    4 db shards: ragged padding rows ride the whole ingest -> build ->
+    search -> merge path on every process."""
+    monkeypatch.setenv("MP_CHECK_N", "1531")
+    _mp_check.run_local_cluster(nproc=2, ndev_per_proc=2)
+
+
 def test_streamed_ingest_equals_staged(rng):
     """put_rows_streamed (per-shard device buffers, no full host matrix)
     builds the identical index/array as the staged path."""
