@@ -108,15 +108,24 @@ def _kmeans_cells(points: jax.Array, key: jax.Array, n_cells: int,
     return assign(centroids)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cells", "block"))
+@functools.partial(jax.jit, static_argnames=("n_cells", "block",
+                                              "cell_chunk"))
 def _assign_cells_kmers(km: jax.Array, key: jax.Array, n_cells: int,
-                        block: int = 8192) -> jax.Array:
+                        block: int = 8192,
+                        cell_chunk: int | None = None) -> jax.Array:
     """Sample-assign cells directly from integer k-mers.
 
     The (N, 8L) float embedding never materializes: each scan block
     embeds (block, L) -> (block, 8L) on the fly, so device memory for the
     build is bounded by the int32 k-mers plus one block — the difference
     between ~2M and ~100M points per chip.
+
+    cell_chunk: when set, the (block, n_cells) assignment distance
+    matrix is also chunked along the CELL axis with a running argmin —
+    at 2^24 points (n_cells = N/32 = 524288) the unchunked matrix is
+    8192 x 524288 f32 = 17 GB and crashed the TPU worker; chunks of
+    65536 keep it at 2 GB.  None keeps the single-GEMM body (and the
+    exact compiled program) used at every previously-measured size.
     """
     n, l = km.shape
     coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
@@ -127,12 +136,43 @@ def _assign_cells_kmers(km: jax.Array, key: jax.Array, n_cells: int,
     kmp = jnp.pad(km, ((0, pad), (0, 0)))
     blocks = kmp.reshape(-1, block, l)
 
-    def body(_, blk):
-        pts = jnp.take(coords, blk, axis=0).reshape(block, d)
-        d2 = distance.sq_distance_matrix(pts, centroids)
-        return None, jnp.argmin(d2, axis=1).astype(jnp.int32)
+    if cell_chunk is None or n_cells <= cell_chunk:
+        def body(_, blk):
+            pts = jnp.take(coords, blk, axis=0).reshape(block, d)
+            d2 = distance.sq_distance_matrix(pts, centroids)
+            return None, jnp.argmin(d2, axis=1).astype(jnp.int32)
 
-    _, a = jax.lax.scan(body, None, blocks)
+        _, a = jax.lax.scan(body, None, blocks)
+        return a.reshape(-1)[:n]
+
+    cpad = (-n_cells) % cell_chunk
+    cent_p = jnp.pad(centroids, ((0, cpad), (0, 0)))
+    cent_chunks = cent_p.reshape(-1, cell_chunk, d)
+    cids = jnp.arange(cent_p.shape[0], dtype=jnp.int32) \
+        .reshape(-1, cell_chunk)
+
+    def body_chunked(_, blk):
+        pts = jnp.take(coords, blk, axis=0).reshape(block, d)
+
+        def cbody(carry, xs):
+            bd, bi = carry
+            cents, ids = xs
+            d2 = distance.sq_distance_matrix(pts, cents)
+            d2 = jnp.where(ids[None, :] < n_cells, d2, jnp.inf)
+            j = jnp.argmin(d2, axis=1)
+            dmin = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+            # strict < keeps the earliest chunk on ties, matching the
+            # global argmin's first-minimum semantics
+            upd = dmin < bd
+            return (jnp.where(upd, dmin, bd),
+                    jnp.where(upd, ids[j], bi)), None
+
+        init = (jnp.full((block,), jnp.inf, jnp.float32),
+                jnp.zeros((block,), jnp.int32))
+        (_, bi), _ = jax.lax.scan(cbody, init, (cent_chunks, cids))
+        return None, bi
+
+    _, a = jax.lax.scan(body_chunked, None, blocks)
     return a.reshape(-1)[:n]
 
 
@@ -163,7 +203,12 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     # materializing path, needed only when sample-assign cells are too
     # coarse.
     if kmeans_iters == 0:
-        cells = np.asarray(_assign_cells_kmers(km, key, n_cells))
+        # past 2^18 cells the (block, n_cells) assignment matrix must
+        # chunk along cells (17 GB at 2^24); smaller sizes keep the
+        # single-GEMM program every measured build compiled
+        cc = 65536 if n_cells > (1 << 18) else None
+        cells = np.asarray(_assign_cells_kmers(km, key, n_cells,
+                                               cell_chunk=cc))
     else:
         @jax.jit
         def _stage1(km, key):

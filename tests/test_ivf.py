@@ -36,6 +36,21 @@ def test_ivf_exact_when_blocks_fit(rng):
         np.testing.assert_allclose(v, gt[(a, b)], atol=1e-2)
 
 
+def test_assign_cells_chunked_matches_single(rng):
+    """Cell-chunked assignment (the 2^24 OOM fix) == single-GEMM
+    assignment, including argmin tie order, padded tail cells, and an
+    uneven final point block."""
+    n, l, n_cells = 5003, 10, 96
+    km = rng.integers(0, 20, (n, l)).astype(np.int32)
+    km[1000:1100] = km[1000]                 # duplicates -> distance ties
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(ivf._assign_cells_kmers(km, key, n_cells, block=512))
+    for cc in (32, 64):                      # n_cells % cc != 0 for 64
+        b = np.asarray(ivf._assign_cells_kmers(km, key, n_cells,
+                                               block=512, cell_chunk=cc))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_ivf_capped_blocks_high_recall(rng):
     n, c, l = 8192, 32, 25
     db, centers = _family_db(rng, n, c, l)
