@@ -31,4 +31,4 @@ Layer map (TPU-first):
 # with f64 host-side statistics.  jax's x64 mode is left at its default
 # (off) — nothing here requires 64-bit device types.
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"    # keep in sync with pyproject.toml

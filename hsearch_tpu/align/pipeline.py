@@ -27,6 +27,9 @@ from ..core import alphabet
 from . import blast_stat, extend, seed_index
 
 SUMHSP_OVERLAP = 10       # paras.hpp:15
+# residue budget per bulk string-render pass (_render_strings_all);
+# module-level so tests can shrink it to exercise the multi-chunk path
+_RENDER_CHUNK = 1 << 24
 
 
 @dataclasses.dataclass(frozen=True)
@@ -392,13 +395,13 @@ class ProteinSearcher:
         db_ = np.fromiter((h.d_beg for h in hits), np.int64, n)
         qlo = self.starts[lq] + qb - 1
         dlo = self.starts[ld] + db_ - 1
-        # chunked over ~16M residues: the index arrays amplify each
-        # rendered residue ~16x in int64 temporaries, so one
-        # all-corpus-hits pass can reach tens of GB on dense-homology
-        # corpora — chunking keeps the vectorized win with bounded
-        # memory (a few hundred MB per pass)
+        # chunked over ~16M residues (_RENDER_CHUNK): the index arrays
+        # amplify each rendered residue ~16x in int64 temporaries, so
+        # one all-corpus-hits pass can reach tens of GB on
+        # dense-homology corpora — chunking keeps the vectorized win
+        # with bounded memory (a few hundred MB per pass)
         bound = np.searchsorted(np.cumsum(ln), np.arange(
-            0, int(ln.sum()) + 1, 1 << 24)[1:], side="left") + 1
+            0, int(ln.sum()) + 1, _RENDER_CHUNK)[1:], side="left") + 1
         start = 0
         for stop in np.unique(np.append(bound, n)):
             stop = int(min(stop, n))

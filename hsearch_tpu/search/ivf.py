@@ -490,29 +490,43 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             blk = np.pad(blk, ((0, pad),) + ((0, 0),) * (blk.ndim - 1))
             cemb = np.pad(cemb, ((0, pad), (0, 0)))
         cblk = jnp.asarray(blk, jnp.int32 if is_kmers else jnp.float32)
-        cemb_dev = jnp.asarray(cemb, jnp.float32)
-        pending.append((s, pad, cblk, cemb_dev, _search_block(
-            index, cblk, cemb_dev,
+        # keep only the HOST copies for the rare overflow re-dispatch —
+        # pinning every block's device inputs across the whole
+        # dispatch+harvest would hold O(c_total) extra HBM
+        pending.append((s, pad, blk, cemb, _search_block(
+            index, cblk, jnp.asarray(cemb, jnp.float32),
             jnp.float32(radius), k_blocks, max_hits,
             use_pallas, approx_select, pack_cap_frac, transfer_d2)))
     max_alive = 0
-    for s, pad, cblk, cemb_dev, (packed, ids, d2) in pending:
+    for s, pad, blk, cemb, (packed, ids, d2) in pending:
         real = center_block - pad
+        packed_np = np.asarray(packed)
         hits, (n_hits, n_alive) = compact.unpack_hits(
-            np.asarray(packed), (center_block, center_block))
-        # packed-capacity escalation: when the block's hits overflow the
-        # packed buffer, re-dispatch the SAME block with a 4x capacity
-        # instead of pulling the full (C, max_hits) id+d2 arrays — the
-        # recompute is tens of ms on chip while the full-array fallback
-        # is 4 MB over a ~10 MB/s link.  cap_frac=1 equals the full
-        # hit capacity (top-k yields <= max_hits/center), so the ladder
-        # always terminates with a fitting packed transfer.
-        cap = pack_cap_frac
-        while hits is None and cap > 1:
-            cap = max(1, cap // 4)
+            packed_np, (center_block, center_block))
+        if hits is None and pack_cap_frac > 1:
+            # packed-capacity escalation: the block's hits overflowed
+            # the packed buffer; re-dispatch the SAME block with the
+            # buffer sized to the now-known total instead of pulling
+            # the full (C, max_hits) id+d2 arrays (multi-MB over a
+            # ~10 MB/s link).  The header carries the true hit count,
+            # so ONE re-dispatch always fits (cap_frac=1 holds every
+            # possible hit: top-k yields <= max_hits/center).  Each
+            # distinct cap_frac is a separate compiled program — paid
+            # once per process (then disk-cached), amortized across
+            # every later overflow at that rung.
+            total = int(packed_np[2])
+            k_sel = min(max_hits,
+                        min(k_blocks, index.num_blocks) * index.block_size)
+            cap = pack_cap_frac
+            while cap > 1 and (center_block * k_sel) // cap < total:
+                cap //= 4
+            cap = max(cap, 1)
             packed, ids, d2 = _search_block(
-                index, cblk, cemb_dev, jnp.float32(radius), k_blocks,
-                max_hits, use_pallas, approx_select, cap, transfer_d2)
+                index, jnp.asarray(blk,
+                                   jnp.int32 if is_kmers else jnp.float32),
+                jnp.asarray(cemb, jnp.float32), jnp.float32(radius),
+                k_blocks, max_hits, use_pallas, approx_select, cap,
+                transfer_d2)
             hits, (n_hits, n_alive) = compact.unpack_hits(
                 np.asarray(packed), (center_block, center_block))
         bad = ((n_alive[:real] > k_blocks)

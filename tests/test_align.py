@@ -230,6 +230,30 @@ def test_search_all_batched_equals_per_query(rng):
     assert len(a) > 4        # self-hits plus homologs found
 
 
+def test_render_strings_multichunk_equals_single(rng, monkeypatch):
+    """A tiny _RENDER_CHUNK forces the bulk string render through many
+    chunks; rendered strings must equal the one-pass result."""
+    from hsearch_tpu.core import io as hio
+    base = rng.integers(0, 20, 90).astype(np.int32)
+    seqs = []
+    for i in range(6):
+        s = base.copy()
+        pos = rng.integers(0, 90, 5)
+        s[pos] = rng.integers(0, 20, 5)
+        seqs.append(s)
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=[f"p{i}" for i in range(len(seqs))],
+                       seq=np.concatenate(seqs), starts=starts)
+    searcher = pipeline.ProteinSearcher(db)
+    key = lambda h: (h.query, h.subject, h.q_beg, h.d_beg,
+                     h.q_aln, h.d_aln, h.info)
+    one = sorted(map(key, searcher.search_all(batched=True)))
+    # smaller than any single alignment -> every hit gets its own chunk
+    monkeypatch.setattr(pipeline, "_RENDER_CHUNK", 7)
+    many = sorted(map(key, searcher.search_all(batched=True)))
+    assert one == many and len(one) > 6
+
+
 def test_g10_table_matches_searchsorted_path(rng):
     """Precomputed 4th-suffix-group table == per-candidate derivation."""
     import numpy as np
