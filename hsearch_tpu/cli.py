@@ -658,7 +658,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     import os
+    from . import __version__
     p = build_parser()
+    p.add_argument("--version", action="version",
+                   version=f"hsearch_tpu {__version__}")
     p.add_argument("--platform", choices=("cpu", "tpu"),
                    default=os.environ.get("HSEARCH_PLATFORM"),
                    help="force the JAX backend (the JAX_PLATFORMS env var "
