@@ -39,7 +39,11 @@ def main():
     from hsearch_tpu.search import evaluate, exact, ivf, motif
     from hsearch_tpu.cluster import centroid, greedy
 
-    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        print(__doc__)
+        return
+    log2n = int(args[0]) if args else 18
     n, c, l, radius = 1 << log2n, 256, 25, 35.0
     rng = np.random.default_rng(0)
     db, centers = protein_like_db(rng, n, l, query_n=c)
