@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import alphabet
+from ..utils import profiling
 from . import blast_stat, extend, seed_index
 
 SUMHSP_OVERLAP = 10       # paras.hpp:15
@@ -641,7 +642,13 @@ class ProteinSearcher:
         sdev = self._seq_dev      # length-grid padded: shared programs
         res = {k: [] for k in ("score", "match", "gate_score", "gate_match",
                                "q_beg", "q_end", "d_beg", "d_end")}
+        profiling.heartbeat(
+            f"search_all: extending {qpos.shape[0]} seed pairs "
+            f"({-(-qpos.shape[0] // p.pair_batch)} batches)")
         for s in range(0, qpos.shape[0], p.pair_batch):
+            if s and s % (64 * p.pair_batch) == 0:
+                profiling.heartbeat(
+                    f"search_all: {s}/{qpos.shape[0]} pairs extended")
             sl = slice(s, s + p.pair_batch)
             pad = p.pair_batch - len(qpos[sl])
             r = extend.extend_pairs(

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..align import pipeline as align_pipeline
 from ..core import alphabet
+from ..utils import profiling
 from . import union_find
 
 FEATURE_SIZE = alphabet.HIST8_SIZE ** alphabet.HASHLEN   # 8^3 = 512
@@ -131,6 +132,8 @@ def cluster_proteins(db, key: jax.Array,
     aligner under the SAME group statistics, so refined and unrefined
     hits stay on one e-value scale (ADVICE r1 #3).
     """
+    profiling.heartbeat(
+        f"cluster_proteins: histograms over {db.num_proteins} proteins")
     feats = protein_histograms(db)
     uf = union_find.UnionFind(db.num_proteins)
     all_hits = []
@@ -158,9 +161,16 @@ def cluster_proteins(db, key: jax.Array,
         subset = np.concatenate(new_groups)
         group_of = np.repeat(np.arange(len(new_groups)),
                              [len(g) for g in new_groups])
+        profiling.heartbeat(
+            f"cluster_proteins: table {t + 1}/{tables} — "
+            f"{len(new_groups)} new groups, {len(subset)} proteins to "
+            "index + align")
         searcher = align_pipeline.ProteinSearcher(
             db, params, subset=subset, groups=group_of)
         hits = searcher.search_all()
+        profiling.heartbeat(
+            f"cluster_proteins: table {t + 1}/{tables} — "
+            f"{len(hits)} hits")
         if gapped and hits:
             by_query: dict[int, list] = {}
             for h in hits:

@@ -17,6 +17,22 @@ from collections import defaultdict
 _REGISTRY: dict[str, list[float]] = defaultdict(list)
 
 
+def heartbeat(msg: str) -> None:
+    """Opt-in progress line (HSEARCH_PROGRESS=1) for multi-hour runs.
+
+    IGC-scale invocations (1e6+ proteins through cluster_proteins, 2^23+
+    k-mers through clustering) are otherwise silent until they finish;
+    the reference prints per-phase TIME_INFO lines for the same reason
+    (pcluster util.hpp:179-186).  Off by default — stderr, timestamped.
+    """
+    import os
+    import sys
+    if os.environ.get("HSEARCH_PROGRESS", "0") != "1":
+        return
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 @contextlib.contextmanager
 def phase(name: str, *, sync: bool = False):
     """Time a phase; optionally block on all device work first and after.
