@@ -52,14 +52,30 @@ def main():
     if not cluster_only:
         _bench_search_all(apipe, db, n)
 
+    tables = 4
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            tables = int(a.split("=")[1])
     t0 = time.perf_counter()
-    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0), tables=4)
+    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0),
+                                    tables=tables)
     t_pc = time.perf_counter() - t0
+    # planted-family recall: fraction of within-family pairs that land
+    # in one cluster (families are proteins i with the same i % n_fam)
+    members = np.arange(n_fam * 4).reshape(4, n_fam).T   # (n_fam, 4)
+    lab = res.labels[members]                            # (n_fam, 4)
+    pairs = recovered = 0
+    for a_col in range(4):
+        for b_col in range(a_col + 1, 4):
+            pairs += n_fam
+            recovered += int((lab[:, a_col] == lab[:, b_col]).sum())
     print(json.dumps({
-        "bench": "cluster_proteins", "proteins": n,
+        "bench": "cluster_proteins", "proteins": n, "tables": tables,
         "clusters": len(set(res.labels.tolist())),
         "hits": len(res.hits), "total_s": round(t_pc, 2),
-        "proteins_per_s": round(n / t_pc, 1)}), flush=True)
+        "proteins_per_s": round(n / t_pc, 1),
+        "family_pair_recall": round(recovered / max(pairs, 1), 4)},
+    ), flush=True)
 
 
 def _bench_search_all(apipe, db, n):
