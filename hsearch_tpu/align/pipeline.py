@@ -132,12 +132,20 @@ class ProteinSearcher:
         else:
             # compact the subset into its own concatenated array
             # (BuildProteinsIndex indexes only the group's proteins,
-            # hash_search.cpp:164-261)
+            # hash_search.cpp:164-261) — one vectorized gather; the
+            # per-protein Python loop cost minutes at 1e6 proteins
             self.ids = np.asarray(subset)
-            parts = [np.asarray(db.protein(i)) for i in self.ids]
-            seq = np.concatenate(parts) if parts else np.zeros(0, np.int32)
-            starts = np.zeros(len(parts) + 1, np.int64)
-            np.cumsum([len(p) for p in parts], out=starts[1:])
+            dstarts = np.asarray(db.starts)
+            lens = (dstarts[self.ids + 1] - dstarts[self.ids]) \
+                .astype(np.int64)
+            total = int(lens.sum())
+            first = np.cumsum(lens) - lens
+            offs = np.arange(total, dtype=np.int64) \
+                - np.repeat(first, lens)
+            seq = np.asarray(db.seq)[
+                np.repeat(dstarts[self.ids], lens) + offs] \
+                if total else np.zeros(0, np.int32)
+            starts = np.concatenate([[0], np.cumsum(lens)])
         self.seq = np.asarray(seq, np.int32)
         self.starts = np.asarray(starts, np.int64)
         self.groups = None if groups is None else np.asarray(groups)
