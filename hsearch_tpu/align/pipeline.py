@@ -580,7 +580,8 @@ class ProteinSearcher:
             stat = self.stat_for_local(int(sel[0])) if sel.size else None
         return self._assemble(query_idx, qseq, res, subj, stat=stat)
 
-    def search_all(self, batched: bool = True) -> list[Hit]:
+    def search_all(self, batched: bool = True,
+                   exclude_pairs: np.ndarray | None = None) -> list[Hit]:
         """Every indexed protein as query (ProteinSearching,
         hash_search.cpp:263-289).
 
@@ -589,8 +590,17 @@ class ProteinSearcher:
         array, so pair positions are global offsets) — one device stream
         per group instead of per-protein calls.  Results are identical to
         the per-query path; assembly stays per query.
+
+        exclude_pairs: optional SORTED uint64 array of directional
+        ``(global_query_id << 32) | global_subject_id`` keys whose seed
+        pairs are dropped before extension (batched path only).
+        cluster_proteins passes each table's accumulated hit pairs so a
+        later table never re-aligns — or re-reports — a pair an earlier
+        table already found.
         """
         if not batched:
+            if exclude_pairs is not None:
+                raise ValueError("exclude_pairs requires batched=True")
             out = []
             for local, gid in enumerate(self.ids):
                 qseq = self.seq[self.starts[local]:self.starts[local + 1]]
@@ -634,6 +644,17 @@ class ProteinSearcher:
         ok = self.starts[dpid + 1] - dpos >= seed_index.SEED_LEN
         qpos, dpos, dpid = qpos[ok], dpos[ok], dpid[ok]
         qpid = np.searchsorted(self.starts, qpos, side="right") - 1
+        if exclude_pairs is not None and len(qpos):
+            pk = (self.ids[qpid].astype(np.uint64) << np.uint64(32)) \
+                | self.ids[dpid].astype(np.uint64)
+            at = np.searchsorted(exclude_pairs, pk)
+            at = np.minimum(at, max(len(exclude_pairs) - 1, 0))
+            known = (exclude_pairs[at] == pk) if len(exclude_pairs) \
+                else np.zeros(len(pk), bool)
+            qpos, dpos = qpos[~known], dpos[~known]
+            qpid, dpid = qpid[~known], dpid[~known]
+            if qpos.size == 0:
+                return []
         if self.params.collapse_runs and len(qpos):
             keep = _collapse_diag_runs(qpos, dpos, qpid, dpid,
                                        self.params.collapse_runs)

@@ -139,6 +139,11 @@ def cluster_proteins(db, key: jax.Array,
     all_hits = []
     aligned_groups = []
     seen_groups: set[tuple] = set()
+    # directional (query << 32 | subject) keys of every hit so far:
+    # a later table's pre-groups largely re-cover earlier tables' pairs
+    # (measured at 1e6: tables=2 re-aligned and re-reported ~1.9x the
+    # tables=1 hit set); known pairs are dropped before extension
+    hit_pairs = np.empty(0, np.uint64)
     keys = jax.random.split(key, tables)
     for t in range(tables):
         kp = klsh_init(keys[t], FEATURE_SIZE, bits, sigma)
@@ -167,10 +172,16 @@ def cluster_proteins(db, key: jax.Array,
             "index + align")
         searcher = align_pipeline.ProteinSearcher(
             db, params, subset=subset, groups=group_of)
-        hits = searcher.search_all()
+        hits = searcher.search_all(
+            exclude_pairs=hit_pairs if t else None)
         profiling.heartbeat(
             f"cluster_proteins: table {t + 1}/{tables} — "
-            f"{len(hits)} hits")
+            f"{len(hits)} new hits")
+        if tables > 1 and (hits or t == 0):
+            new_keys = np.fromiter(
+                ((int(h.query) << 32) | int(h.subject) for h in hits),
+                np.uint64, len(hits))
+            hit_pairs = np.sort(np.concatenate([hit_pairs, new_keys]))
         if gapped and hits:
             by_query: dict[int, list] = {}
             for h in hits:

@@ -56,6 +56,20 @@ def test_cluster_proteins_recovers_families(rng):
         assert (labels == labels[i]).sum() == 1
 
 
+def test_cluster_proteins_no_duplicate_pairs(rng):
+    """tables>1 must not re-align/re-report a pair an earlier table
+    already hit: every (query, subject) appears at most once, and the
+    clustering matches a run without the exclusion (same unions)."""
+    db, truth = _family_proteins(rng, flips=2)
+    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(1), tables=6)
+    pairs = [(h.query, h.subject) for h in res.hits]
+    assert len(pairs) == len(set(pairs))
+    # same-family pairs still union (exclusion loses no connectivity)
+    for f in range(3):
+        members = np.nonzero(truth == f)[0]
+        assert len(set(res.labels[members].tolist())) == 1
+
+
 def test_histogram_matches_reference_formula(rng):
     from hsearch_tpu.core import alphabet
     seq = rng.integers(0, 20, 50).astype(np.int32)
