@@ -101,19 +101,22 @@ def sq_distance_prune(q_emb: jax.Array, centroids: jax.Array,
 
 
 _TM = 512   # candidate tile (lane-aligned; M is padded to a multiple)
+_TQ = 8     # query tile (Mosaic requires the output sublane block to be
+            # a multiple of 8 — a (1, TM) block fails lowering on real
+            # TPU; interpret mode never enforced it)
 
 
 def _ptable_verify_kernel(ptab_ref, cand_ref, out_ref):
-    # ptab tile (1, L, 20) f32; cand tile (1, L, TM) int8 -> out (1, TM)
-    ct = cand_ref[0].astype(jnp.int32)               # (L, TM)
+    # ptab tile (TQ, L, 20) f32; cand tile (TQ, L, TM) int8 -> out (TQ, TM)
+    ct = cand_ref[:].astype(jnp.int32)               # (TQ, L, TM)
     val = jnp.zeros(ct.shape, jnp.float32)
     for a in range(20):
-        pa = ptab_ref[0, :, a:a + 1]                 # (L, 1) f32
+        pa = ptab_ref[:, :, a:a + 1]                 # (TQ, L, 1) f32
         val = val + jnp.where(ct == a, pa, 0.0)
     # each val element is exactly ONE table entry (the zero adds are
     # exact in f32), so the lane-preserving sum below is an f32 sum of
     # the same L entries the oracle adds — equal up to addition order
-    out_ref[0, :] = jnp.sum(val, axis=0)
+    out_ref[:] = jnp.sum(val, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -134,16 +137,21 @@ def ptable_verify(ptab: jax.Array, cand: jax.Array,
     pad = (-m) % _TM
     if pad:
         candt = jnp.pad(candt, ((0, 0), (0, 0), (0, pad)))
-    mp = m + pad
+    cpad = (-c) % _TQ
+    ptabp = jnp.asarray(ptab, jnp.float32)
+    if cpad:
+        candt = jnp.pad(candt, ((0, cpad), (0, 0), (0, 0)))
+        ptabp = jnp.pad(ptabp, ((0, cpad), (0, 0), (0, 0)))
+    mp, cp = m + pad, c + cpad
     out = pl.pallas_call(
         _ptable_verify_kernel,
-        out_shape=jax.ShapeDtypeStruct((c, mp), jnp.float32),
-        grid=(c, mp // _TM),
+        out_shape=jax.ShapeDtypeStruct((cp, mp), jnp.float32),
+        grid=(cp // _TQ, mp // _TM),
         in_specs=[
-            pl.BlockSpec((1, l, 20), lambda i, j: (i, 0 * j, 0 * j)),
-            pl.BlockSpec((1, l, _TM), lambda i, j: (i, 0 * j, j)),
+            pl.BlockSpec((_TQ, l, 20), lambda i, j: (i, 0 * j, 0 * j)),
+            pl.BlockSpec((_TQ, l, _TM), lambda i, j: (i, 0 * j, j)),
         ],
-        out_specs=pl.BlockSpec((1, _TM), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((_TQ, _TM), lambda i, j: (i, j)),
         interpret=interpret,
-    )(jnp.asarray(ptab, jnp.float32), candt)
-    return out[:, :m]
+    )(ptabp, candt)
+    return out[:c, :m]
