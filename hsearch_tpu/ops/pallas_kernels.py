@@ -17,7 +17,11 @@ where explicit fusion/placement wins over XLA's defaults:
     chunk; this kernel reads each int8 candidate byte once and writes
     only the (C, M) result.  Work per element is exactly L selects+adds
     on the VPU (no 20x MAC inflation), laid out (L sublanes, M lanes)
-    so the reduction is lane-preserving.
+    so the reduction is lane-preserving.  MEASURED SLOWER end-to-end
+    than the MXU path at 2^20/cb=1024 (7.5k vs 9.1k q/s, identical hit
+    sets — BENCH_NOTES round-2 A/B): the verify stage was already ~1 ms
+    on-chip, and 20 VPU select passes cost more compute than the one-hot
+    MAC inflation costs bandwidth.  Kept opt-in (HSEARCH_PALLAS=1).
 
 Kernels follow the pallas_guide patterns: 128-aligned tiles, explicit
 VMEM block specs, ``preferred_element_type`` on every dot.  On CPU (unit
@@ -134,15 +138,10 @@ def ptable_verify(ptab: jax.Array, cand: jax.Array,
         interpret = jax.default_backend() == "cpu"
     c, m, l = cand.shape
     candt = jnp.transpose(cand.astype(jnp.int8), (0, 2, 1))   # (C, L, M)
-    pad = (-m) % _TM
-    if pad:
-        candt = jnp.pad(candt, ((0, 0), (0, 0), (0, pad)))
-    cpad = (-c) % _TQ
-    ptabp = jnp.asarray(ptab, jnp.float32)
-    if cpad:
-        candt = jnp.pad(candt, ((0, cpad), (0, 0), (0, 0)))
-        ptabp = jnp.pad(ptabp, ((0, cpad), (0, 0), (0, 0)))
-    mp, cp = m + pad, c + cpad
+    candt = _pad_to(candt, _TM, 2)
+    candt = _pad_to(candt, _TQ, 0)
+    ptabp = _pad_to(jnp.asarray(ptab, jnp.float32), _TQ, 0)
+    cp, _, mp = candt.shape
     out = pl.pallas_call(
         _ptable_verify_kernel,
         out_shape=jax.ShapeDtypeStruct((cp, mp), jnp.float32),
