@@ -211,6 +211,12 @@ def cmd_hclust(args):
 
 def cmd_pcluster(args):
     import jax
+    distributed = args.dist_nproc is not None
+    if distributed:
+        # must precede any backend-initializing jax call in this process
+        jax.distributed.initialize(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_nproc, process_id=args.dist_pid)
     from .align import pipeline as apipe
     from .cluster import pcluster
     from .core import io as hio
@@ -221,16 +227,36 @@ def cmd_pcluster(args):
     # gapped refinement happens inside cluster_proteins with the same
     # group-partitioned searcher, so refined and unrefined hits share
     # one per-group e-value context (ADVICE r1 #3)
-    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(args.seed),
-                                    params, cluster_evalue=args.cluster_evalue,
-                                    tables=args.tables, gapped=args.gapped)
-    apipe.write_m8(args.output + ".m8", res.hits, db.names, db.names)
-    apipe.write_aln(args.output + ".aln",
+    if distributed:
+        from .cluster import pcluster_dist
+        res = pcluster_dist.cluster_proteins_distributed(
+            db, jax.random.PRNGKey(args.seed), params,
+            cluster_evalue=args.cluster_evalue, tables=args.tables,
+            gapped=args.gapped)
+        # hits are process-local (each process aligned its own groups):
+        # per-process m8/aln shards; labels are identical everywhere,
+        # so only process 0 writes the cluster file
+        shard = f".p{jax.process_index()}"
+        write_clusters = jax.process_index() == 0
+    else:
+        res = pcluster.cluster_proteins(
+            db, jax.random.PRNGKey(args.seed), params,
+            cluster_evalue=args.cluster_evalue, tables=args.tables,
+            gapped=args.gapped)
+        shard = ""
+        write_clusters = True
+    apipe.write_m8(args.output + shard + ".m8", res.hits,
+                   db.names, db.names)
+    apipe.write_aln(args.output + shard + ".aln",
                     res.hits[:args.max_aln], db.names, db.names)
-    clusters = [[db.names[int(i)] for i in g] for g in res.groups()]
-    hio.write_clusters(args.output + ".clusters", clusters, style="hclust2")
-    print(f"[{len(clusters)} clusters, {len(res.hits)} hits -> "
-          f"{args.output}.*]", file=sys.stderr)
+    n_clusters = 0
+    if write_clusters:
+        clusters = [[db.names[int(i)] for i in g] for g in res.groups()]
+        n_clusters = len(clusters)
+        hio.write_clusters(args.output + ".clusters", clusters,
+                           style="hclust2")
+    print(f"[{n_clusters} clusters, {len(res.hits)} hits -> "
+          f"{args.output}{shard}.*]", file=sys.stderr)
 
 
 def cmd_evaluate2(args):
@@ -555,6 +581,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="re-align strong hits with the banded gapped "
                         "aligner (affine gaps + traceback)")
     q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--dist-nproc", type=int, default=None,
+                   help="join an N-process jax.distributed cluster: "
+                        "groups shard across processes, labels merge "
+                        "via union-find over gathered hit edges; every "
+                        "process runs this command with its own "
+                        "--dist-pid (m8/aln outputs are per-process "
+                        "shards <out>.pK.m8)")
+    q.add_argument("--dist-pid", type=int, default=None)
+    q.add_argument("--dist-coordinator", default=None,
+                   help="coordinator host:port (default: auto-detect)")
     q.set_defaults(func=cmd_pcluster)
 
     q = sub.add_parser("evaluate2")
@@ -672,7 +708,10 @@ def main(argv=None):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
-    if not args.no_compile_cache:
+    if not args.no_compile_cache and \
+            getattr(args, "dist_nproc", None) is None:
+        # (skipped under --dist-nproc: jax.default_backend() would
+        # initialize the XLA backend before jax.distributed.initialize)
         import jax
         try:
             # cache only accelerator programs: CPU compiles are fast and

@@ -68,17 +68,24 @@ def klsh_codes(features: jax.Array, params: KLSHParams) -> jax.Array:
     return jnp.sum(bits.astype(jnp.int32) * weights, axis=1)
 
 
-def protein_histograms(db) -> np.ndarray:
-    """(P, 512) reduced 3-mer count histograms (PreClustering,
-    pcluster.cpp:22-33; Kmer2Integer util.hpp:244-250).
+def protein_histograms(db, lo: int = 0, hi: int | None = None) -> np.ndarray:
+    """(hi-lo, 512) reduced 3-mer count histograms of proteins [lo, hi)
+    (PreClustering, pcluster.cpp:22-33; Kmer2Integer util.hpp:244-250).
 
     One vectorized pass over the concatenated sequence: every 3-mer
     window's feature id is computed at once, windows crossing protein
     boundaries are masked, and the (protein, feature) pairs fall into
-    one bincount — no per-protein Python loop (VERDICT r1 weak #3)."""
-    p = db.num_proteins
-    seq = np.minimum(np.asarray(db.seq), 19)
-    starts = np.asarray(db.starts)
+    one bincount — no per-protein Python loop (VERDICT r1 weak #3).
+    The [lo, hi) range lets callers stream histograms in protein chunks:
+    the full (P, 512) f32 matrix is ~20 GB at the IGC corpus's 9.9M
+    proteins (protein.hpp:2-4)."""
+    p_all = db.num_proteins
+    hi = p_all if hi is None else hi
+    p = hi - lo
+    starts_all = np.asarray(db.starts)
+    starts = starts_all[lo:hi + 1] - starts_all[lo]
+    seq = np.minimum(
+        np.asarray(db.seq)[starts_all[lo]:starts_all[hi]], 19)
     out = np.zeros((p, FEATURE_SIZE), np.float32)
     if len(seq) < alphabet.HASHLEN:
         return out
@@ -89,6 +96,31 @@ def protein_histograms(db) -> np.ndarray:
     key = pid[ok] * FEATURE_SIZE + ids[ok]
     out = np.bincount(key, minlength=p * FEATURE_SIZE) \
         .reshape(p, FEATURE_SIZE).astype(np.float32)
+    return out
+
+
+# protein chunk per klsh_codes_all GEMM: bounds host feature memory to
+# chunk x 512 f32 (~400 MB) regardless of corpus size.  The SAME chunk
+# size must be used wherever bit-identical codes are required (XLA does
+# not guarantee row-bitwise-equal GEMMs across batch shapes), which is
+# why both the single-host and distributed pipelines call
+# klsh_codes_all rather than one staging the full feature matrix.
+CODE_CHUNK = 1 << 18
+
+
+def klsh_codes_all(db, params_list, chunk: int = CODE_CHUNK) -> np.ndarray:
+    """(T, P) int32 KLSH codes of every protein under each of T tables'
+    params, histogrammed and projected in bounded-memory chunks: each
+    protein chunk's histograms are built once and projected through
+    every table (nothing of size O(P x 512) is ever staged)."""
+    p = db.num_proteins
+    t = len(params_list)
+    out = np.empty((t, p), np.int32)
+    for lo in range(0, max(p, 1), chunk):
+        hi = min(p, lo + chunk)
+        feats = jnp.asarray(protein_histograms(db, lo, hi))
+        for i, kp in enumerate(params_list):
+            out[i, lo:hi] = np.asarray(klsh_codes(feats, kp))
     return out
 
 
@@ -162,7 +194,6 @@ def cluster_proteins(db, key: jax.Array,
     """
     profiling.heartbeat(
         f"cluster_proteins: histograms over {db.num_proteins} proteins")
-    feats = protein_histograms(db)
     uf = union_find.UnionFind(db.num_proteins)
     all_hits = []
     aligned_groups = []
@@ -173,10 +204,11 @@ def cluster_proteins(db, key: jax.Array,
     # tables=1 hit set); known pairs are dropped before extension
     hit_pairs = np.empty(0, np.uint64)
     keys = jax.random.split(key, tables)
+    all_params = [klsh_init(keys[t], FEATURE_SIZE, bits, sigma)
+                  for t in range(tables)]
+    all_codes = klsh_codes_all(db, all_params)
     for t in range(tables):
-        kp = klsh_init(keys[t], FEATURE_SIZE, bits, sigma)
-        codes = np.asarray(klsh_codes(jnp.asarray(feats), kp))
-        new_groups = table_groups(codes, seen_groups)
+        new_groups = table_groups(all_codes[t], seen_groups)
         if not new_groups:
             continue
         aligned_groups.extend(new_groups)

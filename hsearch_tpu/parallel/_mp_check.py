@@ -95,9 +95,12 @@ def child_main(pid: int, nproc: int, port: int) -> None:
 
 
 def run_local_cluster(nproc: int = 2, ndev_per_proc: int = 2,
-                      timeout: float = 600.0) -> None:
+                      timeout: float = 600.0,
+                      module: str = "hsearch_tpu.parallel._mp_check"
+                      ) -> None:
     """Spawn an nproc-process jax.distributed CPU cluster running
-    child_main; raises on any nonzero exit."""
+    ``module``'s child_main (via ``python -m module pid nproc port``);
+    raises on any nonzero exit."""
     import socket
     import subprocess
 
@@ -111,7 +114,7 @@ def run_local_cluster(nproc: int = 2, ndev_per_proc: int = 2,
         f"--xla_force_host_platform_device_count={ndev_per_proc}")
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, "-m", "hsearch_tpu.parallel._mp_check",
+        [sys.executable, "-m", module,
          str(p), str(nproc), str(port)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for p in range(nproc)]
