@@ -188,6 +188,62 @@ def test_m8_parity_vs_reference_engine(tmp_path, rng, ref_engine):
         assert abs(ours[k]["ident"] - ref[k]["ident"]) <= 0.1, k
 
 
+def _parse_aln(path):
+    """<out>.aln -> multiset of (d, q_aln, info, d_aln) blocks
+    (PrintAln, hash_search.cpp:1275-1286).  Two reference quirks are
+    normalized, not reproduced (SURVEY §7): it prepends 7 spaces to
+    sInfo before printing (PrintRes, hash_search.cpp:1150), and it
+    never fills sQName — the ``//todo st.sQName = ...`` at
+    hash_search.cpp:1161 — so every .aln block prints an EMPTY query
+    name (ours prints the real one; blocks are keyed by subject +
+    the three rendered strings, which pin the query anyway)."""
+    blocks = []
+    lines = open(path).read().splitlines()
+    i = 0
+    while i < len(lines):
+        if " vs " in lines[i] and "bits=" in lines[i]:
+            d = lines[i].split(" vs ")[1].split(" bits=")[0]
+            q_aln = lines[i + 1].split("\t", 1)[1]
+            info = lines[i + 2].split("\t", 1)[1]
+            d_aln = lines[i + 3].split("\t", 1)[1]
+            if info.startswith(" " * 7):
+                info = info[7:]
+            blocks.append((d, q_aln, info, d_aln))
+            i += 4
+        else:
+            i += 1
+    return sorted(blocks)
+
+
+def test_aln_string_parity_vs_reference_engine(tmp_path, rng, ref_engine):
+    """The rendered alignment strings and match lines of <out>.aln are
+    identical to the reference engine's PrintAln output
+    (hash_search.cpp:1275-1286; VERDICT r2 missing #4)."""
+    from hsearch_tpu.align import pipeline as apipe
+    from hsearch_tpu.core import io as hio
+
+    fa = str(tmp_path / "db.fasta")
+    _family_fasta(fa, rng)
+    out = str(tmp_path / "ref")
+    r = subprocess.run([ref_engine, fa, out], capture_output=True,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    ref_blocks = _parse_aln(out + ".aln")
+    assert ref_blocks, "reference engine produced no .aln blocks"
+
+    db = hio.read_fasta(fa, seed=0)
+    s = apipe.ProteinSearcher(db)
+    hits = s.search_all()
+    ours_path = str(tmp_path / "ours.aln")
+    apipe.write_aln(ours_path, hits, db.names, db.names)
+    ours_blocks = _parse_aln(ours_path)
+
+    assert ours_blocks == ref_blocks, (
+        f"aln blocks differ: ours-only="
+    f"{[b for b in ours_blocks if b not in ref_blocks][:2]} "
+        f"ref-only={[b for b in ref_blocks if b not in ours_blocks][:2]}")
+
+
 def test_m8_parity_multi_hsp_and_varied_lengths(tmp_path, rng, ref_engine):
     """Harder workload: shared segments separated by divergent middles
     (multiple HSPs per subject -> the SumEvalue path), varied lengths,
