@@ -22,11 +22,18 @@ def main():
     import jax
     if os.environ.get("HSEARCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["HSEARCH_PLATFORM"])
+    if jax.default_backend() != "cpu":
+        # persistent compile cache: remote-TPU compiles dominate cold runs
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/hsearch_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from hsearch_tpu.align import pipeline as apipe
     from hsearch_tpu.cluster import pcluster
     from hsearch_tpu.core import io as hio
+    from hsearch_tpu.utils import profiling
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     cluster_only = "--cluster-only" in sys.argv
@@ -53,11 +60,15 @@ def main():
         _bench_search_all(apipe, db, n)
 
     tables = 4
+    pair_batch = 8192
     for a in sys.argv[1:]:
         if a.startswith("--tables="):
             tables = int(a.split("=")[1])
+        if a.startswith("--pair-batch="):
+            pair_batch = int(a.split("=")[1])
+    params = apipe.SearchParams(pair_batch=pair_batch)
     t0 = time.perf_counter()
-    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0),
+    res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0), params,
                                     tables=tables)
     t_pc = time.perf_counter() - t0
     # planted-family recall: fraction of within-family pairs that land
@@ -71,11 +82,14 @@ def main():
             recovered += int((lab[:, a_col] == lab[:, b_col]).sum())
     print(json.dumps({
         "bench": "cluster_proteins", "proteins": n, "tables": tables,
+        "backend": jax.default_backend(),
         "clusters": len(set(res.labels.tolist())),
         "hits": len(res.hits), "total_s": round(t_pc, 2),
         "proteins_per_s": round(n / t_pc, 1),
         "family_pair_recall": round(recovered / max(pairs, 1), 4)},
     ), flush=True)
+    if "--stages" in sys.argv:
+        profiling.print_report()
 
 
 def _bench_search_all(apipe, db, n):

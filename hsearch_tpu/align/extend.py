@@ -230,3 +230,155 @@ def extend_pairs(qseq, dseq, qpos, dpos, qlo, qhi, dlo, dhi,
         d_beg=d_seed - xb_ext, d_end=d_seed + local + xf_ext,
         seed_q=q_seed, seed_d=d_seed, seed_span=local,
     )
+
+
+# the result fields the batched pipeline consumes, in pack order
+PACK_KEYS = ("score", "match", "gate_score", "gate_match",
+             "q_beg", "q_end", "d_beg", "d_end")
+
+# plain int (a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed children)
+_BIG = 10 ** 6
+
+
+def _lead_run(ok: jax.Array):
+    """Per lane: length of the leading all-True run along axis 1, plus
+    the masked-prefix sums helper (cumprod mask)."""
+    lead = jnp.cumprod(ok.astype(jnp.int32), axis=1)
+    return jnp.sum(lead, axis=1).astype(jnp.int32), lead
+
+
+def _xdrop_dense(subs, match, score0, origin, drop):
+    """Dense x-drop from per-lane ``origin`` columns (first candidate
+    column) over precomputed ``subs``/``match`` rows.
+
+    Mirrors ``_xdrop_phase`` exactly: elements accumulate until the
+    first violating column (inclusive), the best (first-maximum) prefix
+    wins, ties keep the earliest.  Returns (score_delta, ext, match_ct).
+    """
+    b, w = subs.shape
+    col = jnp.arange(w, dtype=jnp.int32)[None, :]
+    on = col >= origin[:, None]
+    s = score0[:, None] + jnp.cumsum(jnp.where(on, subs, 0), axis=1,
+                                     dtype=jnp.int32)
+    # the chunked kernel's running max is seeded with score0 (maxs
+    # starts at score0 before any element) — must mirror it exactly,
+    # or a deep dip below score0-drop would fail to stop the scan
+    m = jnp.maximum(jax.lax.cummax(jnp.where(on, s, -_BIG), axis=1),
+                    score0[:, None])
+    viol = on & ((s < MINSCORE) | (s < m - drop))
+    any_viol = jnp.any(viol, axis=1)
+    t = jnp.where(any_viol, jnp.argmax(viol, axis=1), w - 1) \
+        .astype(jnp.int32)
+    cand = on & (col <= t[:, None])
+    s_cand = jnp.where(cand, s, -_BIG)
+    best = jnp.max(s_cand, axis=1)
+    arg = jnp.argmax(s_cand, axis=1).astype(jnp.int32)   # first max
+    improved = (best > score0) & (score0 >= MINSCORE)
+    pm = jnp.cumsum(jnp.where(on, match, 0), axis=1, dtype=jnp.int32)
+    ext = jnp.where(improved, arg - origin + 1, 0)
+    mct = jnp.where(improved,
+                    jnp.take_along_axis(pm, arg[:, None], axis=1)[:, 0], 0)
+    delta = jnp.where(improved, best - score0, 0)
+    return delta.astype(jnp.int32), ext.astype(jnp.int32), \
+        mct.astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seed_len", "win_pre", "win_post"))
+def extend_pairs_windowed(qseq, dseq, inputs, drop, seed_len: int = 10,
+                          win_pre: int = 128,
+                          win_post: int = 144) -> jax.Array:
+    """Window-dense twin of ``extend_pairs_packed`` for bounded-length
+    sequences: every lane's residues are gathered ONCE into a
+    seed-centered (B, win_pre+win_post) window, and all five phases
+    (seed score, greedy fwd/bwd, x-drop fwd/bwd) run as dense prefix
+    scans over the window — no ``while_loop``, no per-iteration
+    gathers.
+
+    The chunked ``extend_pairs`` re-gathers a 64-residue slab from HBM
+    per lock-step iteration, which measured gather-bound on TPU
+    (~147 ms per 8192-lane call even with overlapped transfers); this
+    kernel's only gathers are the two initial window extractions.
+    Ungapped extension advances query and subject in lock-step, so one
+    column axis serves both sequences (column j = seed offset
+    j - win_pre on each).
+
+    Valid ONLY when every lane's extension is window-contained:
+    qpos-qlo <= win_pre, dpos-dlo <= win_pre, qhi-qpos and dhi-dpos
+    <= win_post (the caller routes longer-protein lanes to the chunked
+    kernel).  Bitwise-identical to ``extend_pairs`` — asserted by
+    tests/test_align.py over random and high-identity workloads.
+    """
+    qpos, dpos, qlo, qhi, dlo, dhi = (inputs[i] for i in range(6))
+    sub = jnp.asarray(_SUB)
+    grp_t = jnp.asarray(_GROUP)
+    w = win_pre + win_post
+    col = jnp.arange(w, dtype=jnp.int32)[None, :]
+    qidx = qpos[:, None] + (col - win_pre)
+    didx = dpos[:, None] + (col - win_pre)
+    valid = (qidx >= qlo[:, None]) & (qidx < qhi[:, None]) \
+        & (didx >= dlo[:, None]) & (didx < dhi[:, None])
+    qaa = jnp.minimum(jnp.take(qseq, jnp.clip(qidx, 0, qseq.shape[0] - 1),
+                               axis=0).astype(jnp.int32), 20)
+    daa = jnp.minimum(jnp.take(dseq, jnp.clip(didx, 0, dseq.shape[0] - 1),
+                               axis=0).astype(jnp.int32), 20)
+    subs = jnp.where(valid, sub[qaa, daa], -_BIG)
+    match = (valid & (qaa == daa) & (qaa < 20)).astype(jnp.int32)
+    qg = jnp.take(grp_t, qaa)
+    dg = jnp.take(grp_t, daa)
+    ge = valid & (qg == dg) & (qg < 10)
+
+    p = win_pre
+    # seed score over columns [p, p + seed_len)
+    seed_cols = slice(p, p + seed_len)
+    score = jnp.sum(jnp.where(valid[:, seed_cols],
+                              sub[qaa[:, seed_cols], daa[:, seed_cols]],
+                              NEGSCORE), axis=1).astype(jnp.int32)
+    match0 = jnp.sum(match[:, seed_cols], axis=1).astype(jnp.int32)
+
+    # greedy forward over columns >= p + seed_len
+    gf, leadf = _lead_run(ge[:, p + seed_len:])
+    score = score + jnp.sum(subs[:, p + seed_len:] * leadf,
+                            axis=1).astype(jnp.int32)
+    match0 = match0 + jnp.sum(match[:, p + seed_len:] * leadf,
+                              axis=1).astype(jnp.int32)
+    # greedy backward over columns < p, scanned right-to-left
+    gb, leadb = _lead_run(ge[:, :p][:, ::-1])
+    score = score + jnp.sum(subs[:, :p][:, ::-1] * leadb,
+                            axis=1).astype(jnp.int32)
+    match0 = match0 + jnp.sum(match[:, :p][:, ::-1] * leadb,
+                              axis=1).astype(jnp.int32)
+
+    gate_score, gate_match = score, match0
+    e_f = p + seed_len + gf          # first un-consumed forward column
+    e_b = p - gb                     # first consumed column
+
+    xf_s, xf_ext, xf_m = _xdrop_dense(subs, match, score, e_f, drop)
+    xb_s, xb_ext, xb_m = _xdrop_dense(subs[:, ::-1], match[:, ::-1],
+                                      score, w - e_b, drop)
+
+    score = score + xf_s + xb_s
+    match0 = match0 + xf_m + xb_m
+    qbase = qpos - win_pre
+    dbase = dpos - win_pre
+    r = dict(score=score, match=match0,
+             gate_score=gate_score, gate_match=gate_match,
+             q_beg=qbase + e_b - xb_ext, q_end=qbase + e_f + xf_ext,
+             d_beg=dbase + e_b - xb_ext, d_end=dbase + e_f + xf_ext)
+    return jnp.stack([r[k] for k in PACK_KEYS])
+
+
+@functools.partial(jax.jit, static_argnames=("seed_len",))
+def extend_pairs_packed(qseq, dseq, inputs, drop,
+                        seed_len: int = 10) -> jax.Array:
+    """``extend_pairs`` with packed transfers both ways: ``inputs`` is
+    ONE (6, B) int32 buffer of rows (qpos, dpos, qlo, qhi, dlo, dhi)
+    and the result is ONE (8, B) int32 stack of PACK_KEYS.  A
+    remote-TPU link charges per transfer as much as per byte (the
+    round-2 packed-hit lesson); the unpacked form moved 6 host->device
+    and 8 device->host arrays per batch."""
+    qpos, dpos, qlo, qhi, dlo, dhi = (inputs[i] for i in range(6))
+    r = extend_pairs(qseq, dseq, qpos, dpos, qlo, qhi, dlo, dhi,
+                     drop, seed_len)
+    return jnp.stack([r[k] for k in PACK_KEYS])

@@ -206,7 +206,8 @@ def cluster_proteins(db, key: jax.Array,
     keys = jax.random.split(key, tables)
     all_params = [klsh_init(keys[t], FEATURE_SIZE, bits, sigma)
                   for t in range(tables)]
-    all_codes = klsh_codes_all(db, all_params)
+    with profiling.phase("pcluster/klsh_codes"):
+        all_codes = klsh_codes_all(db, all_params)
     for t in range(tables):
         new_groups = table_groups(all_codes[t], seen_groups)
         if not new_groups:

@@ -120,7 +120,8 @@ def cluster_proteins_distributed(
     keys = jax.random.split(key, tables)
     all_params = [pcluster.klsh_init(keys[t], pcluster.FEATURE_SIZE,
                                      bits, sigma) for t in range(tables)]
-    all_codes = pcluster.klsh_codes_all(db, all_params)
+    with profiling.phase("pcluster/klsh_codes"):
+        all_codes = pcluster.klsh_codes_all(db, all_params)
     dstarts = np.asarray(db.starts)
     for t in range(tables):
         new_groups = pcluster.table_groups(all_codes[t], seen_groups)

@@ -62,6 +62,12 @@ def phase(name: str, *, sync: bool = False):
         _REGISTRY[name].append(time.perf_counter() - t0)
 
 
+def add(name: str, seconds: float) -> None:
+    """Record an already-measured span (for code where a context manager
+    would force re-indentation of a whole constructor body)."""
+    _REGISTRY[name].append(seconds)
+
+
 def report() -> dict[str, dict]:
     """{phase: {count, total_s, mean_s}} for all recorded phases."""
     return {k: {"count": len(v), "total_s": sum(v),
