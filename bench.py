@@ -69,11 +69,12 @@ def main():
     # ten-minute budget; HSEARCH_BENCH_N overrides (log2)
     n = 1 << int(os.environ.get("HSEARCH_BENCH_N", "18" if on_tpu
                                 else "16"))
-    # 1024 queries in ONE cb=1024 device block: with the 4-word/hit
-    # pack, cb=1024 measured 7669 q/s vs 8339 at cb=512 (working set
-    # too big); the fused 2-word pack flipped it — 9815 vs 9537 q/s
-    # (one dispatch floor + one transfer tail); recall identical
-    c = 1024 if on_tpu else 64
+    # 4096 queries streamed as cb=1024 blocks: the two-pass
+    # dispatch/harvest overlaps each block's transfer with the next
+    # block's compute, amortizing the per-call floors that bound the
+    # 1024-query point (round-3 stream probe: 14.2k q/s at c=4096 vs
+    # 10.0k at c=1024, recall unchanged; cb=2048 and c=8192 plateau)
+    c = 4096 if on_tpu else 64
     l = 25
     radius = 35.0
     rng = np.random.default_rng(0)
