@@ -72,6 +72,10 @@ def child_main(pid, nproc, port, n, tables):
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, REPO)
     from hsearch_tpu.cluster import pcluster, pcluster_dist
+    bits = int(os.environ.get("HSEARCH_KLSH_BITS",
+                              pcluster.DEFAULT_BITS))
+    sigma = float(os.environ.get("HSEARCH_KLSH_SIGMA",
+                                 pcluster.DEFAULT_SIGMA))
     if nproc > 1:
         jax.distributed.initialize(
             coordinator_address=f"127.0.0.1:{port}",
@@ -81,13 +85,16 @@ def child_main(pid, nproc, port, n, tables):
     t0 = time.perf_counter()
     if nproc > 1:
         res = pcluster_dist.cluster_proteins_distributed(
-            db, jax.random.PRNGKey(0), tables=tables)
+            db, jax.random.PRNGKey(0), tables=tables, bits=bits,
+            sigma=sigma)
     else:
         res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0),
-                                        tables=tables)
+                                        tables=tables, bits=bits,
+                                        sigma=sigma)
     wall = time.perf_counter() - t0
     out = {"bench": "cluster_proteins_mp", "proteins": n,
            "nproc": nproc, "pid": pid, "tables": tables,
+           "bits": bits, "sigma": sigma,
            "local_hits": len(res.hits), "total_s": round(wall, 2),
            "proteins_per_s": round(n / wall, 1)}
     if pid == 0:

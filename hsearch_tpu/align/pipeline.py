@@ -591,7 +591,8 @@ class ProteinSearcher:
         return self._assemble(query_idx, qseq, res, subj, stat=stat)
 
     def search_all(self, batched: bool = True,
-                   exclude_pairs: np.ndarray | None = None) -> list[Hit]:
+                   exclude_pairs: np.ndarray | None = None,
+                   query_rows: np.ndarray | None = None) -> list[Hit]:
         """Every indexed protein as query (ProteinSearching,
         hash_search.cpp:263-289).
 
@@ -607,10 +608,18 @@ class ProteinSearcher:
         cluster_proteins passes each table's accumulated hit pairs so a
         later table never re-aligns — or re-reports — a pair an earlier
         table already found.
+
+        query_rows: optional LOCAL row indices — only these proteins act
+        as queries (all indexed proteins remain subjects).  A query's
+        hits depend only on its own seeds and its group's index, so the
+        full hit set partitions exactly by query: the distributed
+        pipeline gives each process a query slice of one shared searcher
+        (batched path only).
         """
         if not batched:
-            if exclude_pairs is not None:
-                raise ValueError("exclude_pairs requires batched=True")
+            if exclude_pairs is not None or query_rows is not None:
+                raise ValueError(
+                    "exclude_pairs/query_rows require batched=True")
             out = []
             for local, gid in enumerate(self.ids):
                 qseq = self.seq[self.starts[local]:self.starts[local + 1]]
@@ -632,6 +641,13 @@ class ProteinSearcher:
         code, _, valid10, qgrp10_all = seed_index.host_codes(
             self.seq, self.starts)
         qidx = np.nonzero(valid10)[0]
+        if query_rows is not None:
+            # restrict probing positions to the query slice's proteins
+            qr = np.zeros(len(self.ids), bool)
+            qr[np.asarray(query_rows)] = True
+            ppid_all = np.searchsorted(self.starts, qidx,
+                                       side="right") - 1
+            qidx = qidx[qr[ppid_all]]
         qgroups = None
         if self.groups is not None:
             # group of the protein owning each probing position

@@ -11,16 +11,18 @@ Design (SPMD over hosts, no shared state):
     same chunked GEMM shapes — ``klsh_codes_all``), so the per-table
     group lists are formed identically everywhere without any
     communication.
-  * **group partition**: pre-cluster groups are independent units of
-    alignment work (the reference aligns each bucket in isolation,
-    pcluster.cpp:157-167), so they shard embarrassingly: a
-    deterministic greedy bin-pack (descending work estimate, lowest-
-    loaded process wins, index tie-break) assigns every group to one
-    process; each process indexes + aligns ONLY its groups.  Per-group
-    hit sets are partition-invariant: probes are group-local
-    (seed_index composite (group << 32) | code keys), e-values use each
-    group's own statistics, and extension depends only on sequence
-    windows — asserted by tests against the single-process pipeline.
+  * **query partition**: every process builds the SAME group-
+    partitioned searcher over all of a table's pre-groups, then aligns
+    only its slice of the QUERIES.  A query's hits depend only on its
+    own seeds and its group's index (group-local probes, per-group
+    statistics, window-bounded extension), so the hit set partitions
+    exactly by query — asserted by tests against the single-process
+    pipeline.  Work balance is per-query (weight = the query's group
+    total AA, a serpentine assignment over the weight-sorted rows),
+    which stays even in the giant-group KLSH regimes (sigma <= 0.1)
+    where whole-group sharding degenerates to one process doing
+    everything — measured: group-level sharding desynchronized the
+    processes past the 30 s gloo collective-init window at 1e6.
   * **merge**: after each table, processes exchange one compact int32
     edge array — (query, subject, union_flag) per hit — via a padded
     allgather (the only cross-host traffic; kilobytes per table).  The
@@ -44,31 +46,24 @@ from ..utils import profiling
 from . import pcluster, union_find
 
 
-def partition_groups(new_groups: list[np.ndarray], starts: np.ndarray,
-                     nproc: int) -> np.ndarray:
-    """(G,) process id per group: deterministic greedy bin-pack.
+def partition_queries(weights: np.ndarray, nproc: int) -> np.ndarray:
+    """(R,) process id per query row: deterministic serpentine balance.
 
-    Work estimate per group = (total AA)^2 — extension work scales with
-    the within-group pair count times sequence length, and family
-    pre-groups align nearly all-vs-all.  Groups are walked in
-    descending-estimate order (stable index tie-break) and each goes to
-    the least-loaded process (lowest id on ties) — every process
-    computes the identical assignment with no communication.
+    Rows sort by descending weight (stable index tie-break) and deal
+    out serpentine-wise (0..P-1, P-1..0, ...), so every process's total
+    weight matches to within one row's weight — vectorized (a greedy
+    least-loaded loop is O(R) Python at millions of rows).  Every
+    process computes the identical assignment with no communication.
     """
-    starts = np.asarray(starts)
-    g = len(new_groups)
-    assign = np.zeros(g, np.int32)
-    if nproc <= 1 or g == 0:
+    r = len(weights)
+    assign = np.zeros(r, np.int32)
+    if nproc <= 1 or r == 0:
         return assign
-    aa = np.array([float((starts[gr + 1] - starts[gr]).sum())
-                   for gr in new_groups])
-    w = aa * aa
-    order = np.argsort(-w, kind="stable")
-    load = np.zeros(nproc)
-    for gi in order:
-        p = int(np.argmin(load))        # ties -> lowest process id
-        assign[gi] = p
-        load[p] += w[gi]
+    order = np.argsort(-np.asarray(weights, np.float64), kind="stable")
+    pos = np.arange(r)
+    lane = pos % nproc
+    snake = np.where((pos // nproc) % 2 == 0, lane, nproc - 1 - lane)
+    assign[order] = snake.astype(np.int32)
     return assign
 
 
@@ -123,25 +118,35 @@ def cluster_proteins_distributed(
     with profiling.phase("pcluster/klsh_codes"):
         all_codes = pcluster.klsh_codes_all(db, all_params)
     dstarts = np.asarray(db.starts)
+    # establish the gloo/collective context while every process is
+    # still in lock-step (context init has a hard 30 s window; the
+    # first real exchange happens only after minutes of alignment)
+    _allgather_rows(np.zeros((0, 3), np.int32), 3)
     for t in range(tables):
         new_groups = pcluster.table_groups(all_codes[t], seen_groups)
         if not new_groups:
             continue
         aligned_groups.extend(new_groups)
-        assign = partition_groups(new_groups, dstarts, nproc)
-        mine = [g for g, a in zip(new_groups, assign) if a == pid]
+        subset = np.concatenate(new_groups)
+        group_of = np.repeat(np.arange(len(new_groups)),
+                             [len(g) for g in new_groups])
+        # per-query work ~ its group's total residue count (probes are
+        # group-local; every group subject is a potential extension)
+        glen = (dstarts[subset + 1] - dstarts[subset]).astype(np.float64)
+        gaa = np.bincount(group_of, weights=glen)
+        assign = partition_queries(gaa[group_of], nproc)
+        my_rows = np.nonzero(assign == pid)[0]
         profiling.heartbeat(
             f"cluster_proteins_dist p{pid}: table {t + 1}/{tables} — "
-            f"{len(mine)}/{len(new_groups)} groups local")
+            f"{len(my_rows)}/{len(subset)} query rows local, "
+            f"{len(new_groups)} groups")
         hits = []
-        if mine:
-            subset = np.concatenate(mine)
-            group_of = np.repeat(np.arange(len(mine)),
-                                 [len(g) for g in mine])
+        if len(my_rows):
             searcher = align_pipeline.ProteinSearcher(
                 db, params, subset=subset, groups=group_of)
             hits = searcher.search_all(
-                exclude_pairs=hit_pairs if t else None)
+                exclude_pairs=hit_pairs if t else None,
+                query_rows=my_rows)
             if gapped and hits:
                 by_query: dict[int, list] = {}
                 for h in hits:

@@ -374,7 +374,8 @@ def build_ivf_index_from_global(km: jax.Array, n_points: int,
         out_specs=(P(DB, None, None), P(DB)))
     def _cut(local_km, local_key):
         cells = ivf_lib._assign_cells_kmers(
-            local_km, local_key[0], n_cells, block=min(8192, n_local))
+            local_km, local_key[0], n_cells, block=min(8192, n_local),
+            cell_chunk=16384 if n_cells > (1 << 18) else None)
         order = jnp.argsort(cells, stable=True).astype(jnp.int32)
         sc = jnp.take(cells, order)
         ones = jnp.ones((n_local,), jnp.int32)
@@ -406,22 +407,39 @@ def build_ivf_index_from_global(km: jax.Array, n_points: int,
         in_specs=(P(DB, None), P(DB, None, None)),
         out_specs=(P(DB, None, None), P(DB, None), P(DB), P(DB, None)))
     def _bounds(local_km, local_ob_full):
+        # chunked like ivf.build_index's stage 2: the whole-shard gather
+        # + (B, bs, D) embedding materialized ~16 GB at 2^24 (HBM OOM);
+        # scanning bchunk blocks at a time peaks at the int8 output
         coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
-        local_ob = local_ob_full[0, :b_max]
+        bchunk = 4096
+        bp = (-b_max) % bchunk
+        obp = jnp.concatenate(
+            [local_ob_full[0, :b_max],
+             jnp.full((bp, block_size), n_local, jnp.int32)]) \
+            .reshape(-1, bchunk, block_size)
         km_pad = jnp.concatenate(
-            [local_km, jnp.zeros((1, l), jnp.int32)], axis=0)
-        db_sorted = jnp.take(km_pad, local_ob, axis=0).astype(jnp.int8)
-        emb = jnp.take(coords, db_sorted.astype(jnp.int32), axis=0)
-        emb = emb.reshape(b_max, block_size, l * coords.shape[1])
-        valid = (local_ob < n_local)[:, :, None]
-        cnt = jnp.maximum(valid.sum(axis=1), 1)
-        cent = jnp.sum(emb * valid, axis=1) / cnt
-        d2 = jnp.sum((emb - cent[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(valid[..., 0], d2, 0.0)
-        rad = jnp.sqrt(jnp.max(d2, axis=1))
-        # all-padding dummy blocks must never survive pruning
-        rad = jnp.where(valid[..., 0].any(axis=1), rad, -jnp.inf)
-        return db_sorted, cent, rad, local_ob
+            [local_km.astype(jnp.int8), jnp.zeros((1, l), jnp.int8)],
+            axis=0)
+
+        def body(_, ob_c):
+            db_c = jnp.take(km_pad, ob_c, axis=0)
+            emb = jnp.take(coords, db_c.astype(jnp.int32), axis=0)
+            emb = emb.reshape(bchunk, block_size, l * coords.shape[1])
+            valid = (ob_c < n_local)[:, :, None]
+            cnt = jnp.maximum(valid.sum(axis=1), 1)
+            cent = jnp.sum(emb * valid, axis=1) / cnt
+            d2 = jnp.sum((emb - cent[:, None, :]) ** 2, axis=-1)
+            d2 = jnp.where(valid[..., 0], d2, 0.0)
+            rad = jnp.sqrt(jnp.max(d2, axis=1))
+            # all-padding dummy blocks must never survive pruning
+            rad = jnp.where(valid[..., 0].any(axis=1), rad, -jnp.inf)
+            return None, (db_c, cent, rad)
+
+        _, (db_s, cent, rad) = jax.lax.scan(body, None, obp)
+        local_ob = local_ob_full[0, :b_max]
+        return (db_s.reshape(-1, block_size, l)[:b_max],
+                cent.reshape(-1, cent.shape[-1])[:b_max],
+                rad.reshape(-1)[:b_max], local_ob)
 
     db_sorted, cent, rad, ob = jax.jit(_bounds)(km, ob_full)
     return ShardedIVFIndex(

@@ -167,8 +167,12 @@ def _assign_cells_kmers(km: jax.Array, key: jax.Array, n_cells: int,
             return (jnp.where(upd, dmin, bd),
                     jnp.where(upd, ids[j], bi)), None
 
-        init = (jnp.full((block,), jnp.inf, jnp.float32),
-                jnp.zeros((block,), jnp.int32))
+        # derive the carry init from varying data (pts) so the chunked
+        # path also works inside shard_map: a constant init is
+        # unvarying over the mesh axis while the body output is varying
+        # -> scan rejects the carry type mismatch
+        init = (jnp.full_like(pts[:, 0], jnp.inf),
+                jnp.zeros_like(pts[:, 0], dtype=jnp.int32))
         (_, bi), _ = jax.lax.scan(cbody, init, (cent_chunks, cids))
         return None, bi
 
@@ -192,7 +196,10 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     (and only for those blocks).
     """
     n, l = db_kmers.shape
-    km = jnp.asarray(db_kmers, jnp.int32)
+    # int8 on device from the start: TPU tiling pads the L=25 lane dim
+    # to 128 (5.1x), so (N, L) int32 k-mers occupy 8.6 GB padded HBM at
+    # 2^24 — int8 caps the resident (and scan-copy) cost at ~2.2 GB
+    km = jnp.asarray(db_kmers, jnp.int8)
     if n_cells is None:
         n_cells = max(1, n // block_size)
 
@@ -205,8 +212,11 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     if kmeans_iters == 0:
         # past 2^18 cells the (block, n_cells) assignment matrix must
         # chunk along cells (17 GB at 2^24); smaller sizes keep the
-        # single-GEMM program every measured build compiled
-        cc = 65536 if n_cells > (1 << 18) else None
+        # single-GEMM program every measured build compiled.  16384
+        # keeps the per-step (block, chunk) working set + its fusion
+        # copies ~1.5 GB — 65536 still OOMed 15.75 GB HBM at 2^24
+        # alongside the resident k-mers (compile-time buffer assignment)
+        cc = 16384 if n_cells > (1 << 18) else None
         cells = np.asarray(_assign_cells_kmers(km, key, n_cells,
                                                cell_chunk=cc))
     else:
@@ -234,42 +244,43 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     b = order_blocks.shape[0]
 
     # stage 2 (one jit): pad + gather the block-sorted database and bound
-    # each block, scanning in chunks so the (chunk, bs, D) embedding
-    # intermediate stays small (the unchunked form OOMs at millions of rows)
+    # each block, scanning in chunks so BOTH the gather and the
+    # (chunk, bs, D) embedding intermediate stay small.  The gather now
+    # happens inside the scan from an int8 k-mer array: the previous
+    # whole-array `take` materialized a (B, bs, L) int32 intermediate
+    # plus a padded copy — 16.07 GB of HBM at 2^24 (compile-time OOM);
+    # the chunked form peaks at km8 + the stacked int8 output (~1 GB).
     bchunk = 4096
     bpad = (-b) % bchunk
+    km8 = km.astype(jnp.int8)           # AA indices fit a byte
 
     @jax.jit
-    def _stage2(km, order_blocks):
+    def _stage2(km8, obp):
         coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
-        km_pad = jnp.concatenate([km, jnp.zeros((1, l), jnp.int32)], axis=0)
-        # int8 storage: AA indices fit a byte; 4x less HBM traffic in the
-        # per-query candidate gathers
-        db_sorted = jnp.take(km_pad, order_blocks, axis=0).astype(jnp.int8)
-        dbp = jnp.concatenate(
-            [db_sorted, jnp.zeros((bpad, block_size, l), jnp.int8)])
-        obp = jnp.concatenate(
-            [order_blocks, jnp.full((bpad, block_size), n, jnp.int32)])
-        dbp = dbp.reshape(-1, bchunk, block_size, l)
+        km_pad = jnp.concatenate([km8, jnp.zeros((1, l), jnp.int8)],
+                                 axis=0)
         obp = obp.reshape(-1, bchunk, block_size)
 
-        def body(_, args):
-            db_c, ob_c = args
-            emb = jnp.take(coords, db_c, axis=0)
+        def body(_, ob_c):
+            db_c = jnp.take(km_pad, ob_c, axis=0)      # (bchunk, bs, l) i8
+            emb = jnp.take(coords, db_c.astype(jnp.int32), axis=0)
             emb = emb.reshape(bchunk, block_size, l * coords.shape[1])
             valid = (ob_c < n)[:, :, None]
             cnt = jnp.maximum(valid.sum(axis=1), 1)
             cent = jnp.sum(emb * valid, axis=1) / cnt
             d2 = jnp.sum((emb - cent[:, None, :]) ** 2, axis=-1)
             d2 = jnp.where(valid[..., 0], d2, 0.0)
-            return None, (cent, jnp.sqrt(jnp.max(d2, axis=1)))
+            return None, (db_c, cent, jnp.sqrt(jnp.max(d2, axis=1)))
 
-        _, (cent, rad) = jax.lax.scan(body, None, (dbp, obp))
-        return (db_sorted,
+        _, (db_s, cent, rad) = jax.lax.scan(body, None, obp)
+        return (db_s.reshape(-1, block_size, l)[:b],
                 cent.reshape(-1, cent.shape[-1])[:b], rad.reshape(-1)[:b])
 
-    ob_dev = jnp.asarray(order_blocks)
-    db_sorted, cent, rad = _stage2(km, ob_dev)
+    ob_dev = jnp.asarray(np.concatenate(
+        [order_blocks, np.full((bpad, block_size), n, np.int32)])
+        if bpad else order_blocks)
+    db_sorted, cent, rad = _stage2(km8, ob_dev)
+    ob_dev = ob_dev[:b]
     index = IVFIndex(db_sorted=db_sorted, order=ob_dev,
                      block_centroid=cent, block_radius=rad, n_points=n)
     # host-side k-mer copy (int8, N x L): lets search() ship hits as ONE

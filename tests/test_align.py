@@ -106,6 +106,48 @@ def test_extend_pairs_matches_oracle(rng):
                 (k, qp, dp, int(np.asarray(res[k])[i]), want[k])
 
 
+def test_extend_pairs_windowed_equals_chunked(rng):
+    """The window-dense kernel is bitwise-equal to the chunked
+    while_loop kernel on random seeds, planted high-identity homolog
+    runs (long greedy + x-drop extensions), deep-dip sequences (the
+    score0-seeded running-max subtlety), and boundary-hugging pairs."""
+    n_prot, plen = 24, 96
+    prots = []
+    base = rng.integers(0, 20, plen).astype(np.int32)
+    for i in range(n_prot // 2):        # one family: near-identical
+        p = base.copy()
+        p[rng.integers(0, plen, 3)] = rng.integers(0, 20, 3)
+        prots.append(p)
+    for i in range(n_prot // 2):        # noise
+        prots.append(rng.integers(0, 20, plen).astype(np.int32))
+    seq = np.concatenate(prots)
+    starts = np.arange(n_prot + 1) * plen
+    b = 512
+    pid_q = rng.integers(0, n_prot, b)
+    pid_d = rng.integers(0, n_prot, b)
+    off_q = rng.integers(0, plen - 12, b)
+    off_d = rng.integers(0, plen - 12, b)
+    qpos = (starts[pid_q] + off_q).astype(np.int32)
+    dpos = (starts[pid_d] + off_d).astype(np.int32)
+    # force many same-offset family pairs (true long extensions)
+    qpos[:128] = starts[rng.integers(0, n_prot // 2, 128)] + 7
+    dpos[:128] = starts[rng.integers(0, n_prot // 2, 128)] + 7
+    qlo = starts[np.searchsorted(starts, qpos, "right") - 1].astype(np.int32)
+    qhi = (qlo + plen).astype(np.int32)
+    dlo = starts[np.searchsorted(starts, dpos, "right") - 1].astype(np.int32)
+    dhi = (dlo + plen).astype(np.int32)
+    sdev = jnp.asarray(seq)
+    packed = jnp.asarray(np.stack([qpos, dpos, qlo, qhi, dlo, dhi]))
+    for drop in (5, 9, 30):
+        want = extend.extend_pairs_packed(sdev, sdev, packed,
+                                          jnp.int32(drop), 10)
+        got = extend.extend_pairs_windowed(sdev, sdev, packed,
+                                           jnp.int32(drop), 10,
+                                           win_pre=plen, win_post=plen + 10)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"drop={drop}")
+
+
 def test_seed_index_probe_matches_bruteforce(rng):
     # db of several proteins; probes must return exactly the positions
     # whose murphy10 6-mer matches and whose available suffix agrees

@@ -15,27 +15,51 @@ from hsearch_tpu.cluster import _mp_pcluster_check, pcluster, pcluster_dist
 from hsearch_tpu.parallel import _mp_check
 
 
-def test_partition_groups_deterministic_and_balanced():
-    starts = np.arange(0, 101 * 10, 10)     # 100 proteins, 10 aa each
-    groups = [np.arange(i, i + 4) for i in range(0, 80, 4)]
-    a1 = pcluster_dist.partition_groups(groups, starts, 3)
-    a2 = pcluster_dist.partition_groups(groups, starts, 3)
+def test_partition_queries_deterministic_and_balanced(rng):
+    w = rng.random(1000)
+    a1 = pcluster_dist.partition_queries(w, 3)
+    a2 = pcluster_dist.partition_queries(w, 3)
     np.testing.assert_array_equal(a1, a2)
-    # equal-work groups spread evenly
     counts = np.bincount(a1, minlength=3)
     assert counts.max() - counts.min() <= 1
+    # per-process total weight balanced to within one max-weight row
+    loads = np.array([w[a1 == p].sum() for p in range(3)])
+    assert loads.max() - loads.min() <= w.max() + 1e-9
     # single process: everything to 0
-    a0 = pcluster_dist.partition_groups(groups, starts, 1)
-    assert (a0 == 0).all()
+    assert (pcluster_dist.partition_queries(w, 1) == 0).all()
 
 
-def test_partition_groups_weights_big_groups_apart():
-    starts = np.arange(0, 101 * 50, 50)
-    big = np.arange(40)          # one huge group
-    smalls = [np.arange(40 + i, 42 + i) for i in range(0, 20, 2)]
-    assign = pcluster_dist.partition_groups([big] + smalls, starts, 2)
-    # the big group must sit alone-ish: all smalls on the other process
-    assert all(a != assign[0] for a in assign[1:])
+def test_partition_queries_balances_giant_group_regime():
+    """One giant group (sigma<=0.1 KLSH regime): its query rows must
+    spread across processes, not land on one."""
+    w = np.full(1000, 5000.0)        # every query in one huge group
+    assign = pcluster_dist.partition_queries(w, 2)
+    counts = np.bincount(assign, minlength=2)
+    assert counts.max() - counts.min() <= 1
+
+
+def test_search_all_query_rows_partitions_exactly():
+    """Hits of query slices union to the full run, per query identical
+    (the property the distributed query partition rests on)."""
+    from hsearch_tpu.align import pipeline as apipe
+    db = _mp_pcluster_check._workload()
+    key = jax.random.PRNGKey(11)
+    codes = pcluster.klsh_codes_all(
+        db, [pcluster.klsh_init(jax.random.split(key, 1)[0])])
+    groups = pcluster.table_groups(codes[0], set())
+    subset = np.concatenate(groups)
+    group_of = np.repeat(np.arange(len(groups)),
+                         [len(g) for g in groups])
+    s = apipe.ProteinSearcher(db, subset=subset, groups=group_of)
+    full = s.search_all()
+    rows = np.arange(len(subset))
+    parts = []
+    for sl in (rows[0::3], rows[1::3], rows[2::3]):
+        parts.extend(s.search_all(query_rows=sl))
+    key_fn = _mp_pcluster_check._hit_rows
+    a = key_fn(full)
+    b = key_fn(parts)
+    assert sorted(map(tuple, a.tolist())) == sorted(map(tuple, b.tolist()))
 
 
 def test_single_process_degenerate_equals_cluster_proteins():
