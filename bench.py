@@ -23,8 +23,12 @@ import time
 import numpy as np
 
 
-def protein_like_db(rng, n, l, family_size=64, query_n=256):
-    """Motif families (centers + Poisson-flip members), realistic shape."""
+def protein_like_db(rng, n, l, family_size=64, query_n=256,
+                    return_families=False):
+    """Motif families (centers + Poisson-flip members), realistic shape.
+
+    return_families=True also returns each row's family id (for
+    clustering-quality gates)."""
     nfam = max(1, n // family_size)
     query_n = min(query_n, nfam)     # tiny fallback sizes have few families
     fam = rng.integers(0, 20, (nfam, l), dtype=np.int32)
@@ -38,6 +42,8 @@ def protein_like_db(rng, n, l, family_size=64, query_n=256):
     sub = rng.integers(0, 20, (n, l))
     db = np.where(mask, sub, db).astype(np.int32)
     q = fam[rng.choice(nfam, query_n, replace=False)]
+    if return_families:
+        return db, q, which
     return db, q
 
 

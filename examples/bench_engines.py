@@ -46,7 +46,8 @@ def main():
     log2n = int(args[0]) if args else 18
     n, c, l, radius = 1 << log2n, 256, 25, 35.0
     rng = np.random.default_rng(0)
-    db, centers = protein_like_db(rng, n, l, query_n=c)
+    db, centers, fam = protein_like_db(rng, n, l, query_n=c,
+                                       return_families=True)
     c = centers.shape[0]
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     log(f"# workload n=2^{log2n} c={c} l={l} R={radius}")
@@ -107,26 +108,59 @@ def main():
                       "weighted_recall": round(rep2.recall, 4)}),
           flush=True)
 
-    # ---- clustering throughput ----
-    nc = min(n, 1 << min(log2n, 20))
-    t0 = time.perf_counter()
-    cfg2 = greedy.ClusterConfig(hash_k=16, hash_l=8, w=50.0, radius=radius)
-    res = greedy.cluster_greedy(db[:nc], jax.random.PRNGKey(1), cfg2)
-    g_kps = nc / (time.perf_counter() - t0)
-    n_heads = int((res.merged != 2).sum())
-    print(json.dumps({"engine": "hclust2_greedy", "n": nc,
-                      "kmers_per_s": round(g_kps, 1),
-                      "clusters": n_heads}), flush=True)
+    # ---- clustering throughput + quality gate (VERDICT r2 next #6:
+    # family-pair recall at bench scale, TPU L=8 point and, with
+    # --ref-point, the reference's K=16 L=32 point hclust2.cpp:185) ----
+    def pair_recall(labels, fam_sub, n_pairs=200_000):
+        """Fraction of sampled same-family row pairs sharing a label."""
+        prng = np.random.default_rng(1)
+        order = np.argsort(fam_sub, kind="stable")
+        f = fam_sub[order]
+        starts = np.searchsorted(f, np.arange(f.max() + 2))
+        sizes = np.diff(starts)
+        ok_fam = np.nonzero(sizes >= 2)[0]
+        fs = prng.choice(ok_fam, n_pairs)
+        a = starts[fs] + (prng.random(n_pairs) * sizes[fs]).astype(int)
+        b = starts[fs] + (prng.random(n_pairs) * sizes[fs]).astype(int)
+        m = a != b
+        ra, rb = order[a[m]], order[b[m]]
+        return float((labels[ra] == labels[rb]).mean())
 
-    t0 = time.perf_counter()
-    ccfg = centroid.CentroidConfig(hash_k=16, hash_l=8, w=50.0,
-                                   radius=radius)
-    members = centroid.cluster_centroid(db[:nc], jax.random.PRNGKey(2),
-                                        ccfg)
-    c_kps = nc / (time.perf_counter() - t0)
-    print(json.dumps({"engine": "hclust_centroid", "n": nc,
-                      "kmers_per_s": round(c_kps, 1),
-                      "clusters": len(members)}), flush=True)
+    nc = min(n, 1 << min(log2n, 23))
+    fam_sub = fam[:nc]
+    points = [("L8", 8)]
+    if "--ref-point" in sys.argv:
+        points.append(("L32", 32))
+    for tag, hl in points:
+        t0 = time.perf_counter()
+        cfg2 = greedy.ClusterConfig(hash_k=16, hash_l=hl, w=50.0,
+                                    radius=radius)
+        res = greedy.cluster_greedy(db[:nc], jax.random.PRNGKey(1), cfg2)
+        g_kps = nc / (time.perf_counter() - t0)
+        n_heads = int((res.merged != 2).sum())
+        lab = np.where(res.parent >= 0, res.parent, np.arange(nc))
+        print(json.dumps({"engine": f"hclust2_greedy_{tag}", "n": nc,
+                          "kmers_per_s": round(g_kps, 1),
+                          "clusters": n_heads,
+                          "family_pair_recall":
+                              round(pair_recall(lab, fam_sub), 4)}),
+              flush=True)
+
+        t0 = time.perf_counter()
+        ccfg = centroid.CentroidConfig(hash_k=16, hash_l=hl, w=50.0,
+                                       radius=radius)
+        members = centroid.cluster_centroid(db[:nc], jax.random.PRNGKey(2),
+                                            ccfg)
+        c_kps = nc / (time.perf_counter() - t0)
+        clab = np.empty(nc, np.int64)
+        for ci_, grp in enumerate(members):
+            clab[grp] = ci_
+        print(json.dumps({"engine": f"hclust_centroid_{tag}", "n": nc,
+                          "kmers_per_s": round(c_kps, 1),
+                          "clusters": len(members),
+                          "family_pair_recall":
+                              round(pair_recall(clab, fam_sub), 4)}),
+              flush=True)
 
 
 if __name__ == "__main__":

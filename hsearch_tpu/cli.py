@@ -251,7 +251,7 @@ def cmd_pcluster(args):
         res = pcluster_dist.cluster_proteins_distributed(
             db, jax.random.PRNGKey(args.seed), params,
             cluster_evalue=args.cluster_evalue, tables=args.tables,
-            gapped=args.gapped)
+            bits=args.bits, sigma=args.sigma, gapped=args.gapped)
         # hits are process-local (each process aligned its own groups):
         # per-process m8/aln shards; labels are identical everywhere,
         # so only process 0 writes the cluster file
@@ -261,7 +261,7 @@ def cmd_pcluster(args):
         res = pcluster.cluster_proteins(
             db, jax.random.PRNGKey(args.seed), params,
             cluster_evalue=args.cluster_evalue, tables=args.tables,
-            gapped=args.gapped)
+            bits=args.bits, sigma=args.sigma, gapped=args.gapped)
         shard = ""
         write_clusters = True
     apipe.write_m8(args.output + shard + ".m8", res.hits,
@@ -603,6 +603,15 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--max-aln", type=int, default=100)
     q.add_argument("--max-hit", type=int, default=500)
     q.add_argument("--tables", type=int, default=1)
+    q.add_argument("--bits", type=int, default=16,
+                   help="KLSH code width (reference: 16, pcluster.cpp:14)")
+    q.add_argument("--sigma", type=float, default=0.2,
+                   help="KLSH kernel bandwidth (reference: 0.2, "
+                        "pcluster.cpp:15).  Measured: sigma, not bits, "
+                        "is the recall knob — bits=12 sigma=0.1 reaches "
+                        "0.99 family recall at tables=1 where the "
+                        "reference point needs tables>=4 (BENCH_NOTES "
+                        "round-3 sweep)")
     q.add_argument("--gapped", action="store_true",
                    help="re-align strong hits with the banded gapped "
                         "aligner (affine gaps + traceback)")

@@ -114,10 +114,10 @@ def collect_local_rows(row_chunks, n_total: int, mesh: Mesh) -> np.ndarray:
         s = max(lo, base)
         e = min(hi, base + m)
         if e > s:
-            keep.append(np.asarray(chunk[s - base:e - base], np.int32))
+            keep.append(np.asarray(chunk[s - base:e - base], np.int8))
         base += m
     if not keep:
-        return np.zeros((0, 0), np.int32)
+        return np.zeros((0, 0), np.int8)
     return np.concatenate(keep)
 
 
@@ -136,7 +136,7 @@ def put_local_rows(local_rows: np.ndarray, n_total: int, mesh: Mesh,
     if pad < 0:
         raise ValueError(f"process owns {want} rows, got "
                          f"{local_rows.shape[0]}")
-    local = np.zeros((want, l), np.int32)
+    local = np.zeros((want, l), np.int8)
     if local_rows.size:
         local[:local_rows.shape[0]] = local_rows
     sharding = NamedSharding(mesh, P(DB, None))
@@ -166,7 +166,7 @@ def put_rows_streamed(row_chunks, n_total: int, mesh: Mesh,
     col_devices = [[mesh.devices[i][j] for i in range(mesh.shape[DATA])]
                    for j in range(ndb)]
     arrays = []
-    buf = np.zeros((n_local, kmer_len), np.int32)
+    buf = np.zeros((n_local, kmer_len), np.int8)
     fill = 0                 # rows filled in the current shard buffer
     shard = first_shard
 
@@ -175,12 +175,12 @@ def put_rows_streamed(row_chunks, n_total: int, mesh: Mesh,
         for dev in col_devices[shard]:
             arrays.append(jax.device_put(buf, dev))
         shard += 1
-        buf = np.zeros((n_local, kmer_len), np.int32)
+        buf = np.zeros((n_local, kmer_len), np.int8)
         fill = 0
 
     base = 0
     for chunk in row_chunks:
-        chunk = np.asarray(chunk, np.int32)
+        chunk = np.asarray(chunk, np.int8)
         m = chunk.shape[0]
         s = max(lo, base)
         e = min(hi, base + m)

@@ -368,14 +368,34 @@ def build_ivf_index_from_global(km: jax.Array, n_points: int,
     b_cap = (n_local + n_cells * (block_size - 1)
              + block_size - 1) // block_size
 
+    # stage 1 OUTSIDE shard_map, per addressable shard: the axon worker
+    # kills device programs running >~40-60 s, and a 2^24-row shard's
+    # assignment alone takes ~50 s — the host-looped superblock split
+    # inside _assign_cells_kmers needs real host control flow, which a
+    # shard_mapped body cannot have.  Each shard's rows are committed to
+    # its device, so the per-shard calls run device-local; the (n_local,)
+    # cell ids reassemble into a P(db) global array without ever
+    # leaving their devices.
+    cell_shards = []
+    shard_devs = []
+    for s in sorted(km.addressable_shards,
+                    key=lambda s: s.index[0].start or 0):
+        di = (s.index[0].start or 0) // n_local
+        cell_shards.append(ivf_lib._assign_cells_kmers(
+            s.data.reshape(n_local, l), keys[di], n_cells,
+            block=min(8192, n_local),
+            cell_chunk=16384 if n_cells > (1 << 18) else None))
+        shard_devs.append(s.device)
+    cells_global = jax.make_array_from_single_device_arrays(
+        (km.shape[0],),
+        jax.sharding.NamedSharding(mesh, P(DB)),
+        [jax.device_put(c, d) for c, d in zip(cell_shards, shard_devs)])
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(DB, None), P(DB)),
         out_specs=(P(DB, None, None), P(DB)))
-    def _cut(local_km, local_key):
-        cells = ivf_lib._assign_cells_kmers(
-            local_km, local_key[0], n_cells, block=min(8192, n_local),
-            cell_chunk=16384 if n_cells > (1 << 18) else None)
+    def _cut(local_km, cells):
         order = jnp.argsort(cells, stable=True).astype(jnp.int32)
         sc = jnp.take(cells, order)
         ones = jnp.ones((n_local,), jnp.int32)
@@ -394,7 +414,7 @@ def build_ivf_index_from_global(km: jax.Array, n_points: int,
         return (jnp.take(ob, perm, axis=0)[None],
                 jnp.sum(~dummy, keepdims=True).astype(jnp.int32))
 
-    ob_full, n_real = jax.jit(_cut)(km, jnp.asarray(keys))
+    ob_full, n_real = jax.jit(_cut)(km, cells_global)
     # only the per-shard real-block counts cross to host — and only the
     # ADDRESSABLE ones (multi-host processes own just their shards)
     local_bmax = max((int(s.data.max())

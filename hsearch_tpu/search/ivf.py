@@ -108,12 +108,34 @@ def _kmeans_cells(points: jax.Array, key: jax.Array, n_cells: int,
     return assign(centroids)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cells", "block",
-                                              "cell_chunk"))
+@functools.partial(jax.jit, static_argnames=("n_cells",))
+def _sample_centroids(km: jax.Array, key: jax.Array,
+                      n_cells: int) -> jax.Array:
+    """Uniformly sampled cell centroids, embedded: (n_cells, 8L) f32."""
+    n, l = km.shape
+    coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+    idx = jax.random.choice(key, n, (n_cells,), replace=n < n_cells)
+    return jnp.take(coords, km[idx], axis=0).reshape(
+        n_cells, l * coords.shape[1])
+
+
+# rows per assignment jit call: the axon TPU worker KILLS device
+# programs executing longer than ~40-60 s (measured: a 37 s scan
+# completes, a ~75 s one crashes the worker), so the 2^24 assignment
+# (~50 s as one program) must split into host-level superblock calls
+# (~6 s each at 2^21 rows); sizes <= _ASSIGN_SUPER keep their exact
+# single-call program
+_ASSIGN_SUPER = 1 << 21
+
+
 def _assign_cells_kmers(km: jax.Array, key: jax.Array, n_cells: int,
                         block: int = 8192,
                         cell_chunk: int | None = None) -> jax.Array:
     """Sample-assign cells directly from integer k-mers.
+
+    Host wrapper: sample centroids once, then assign row superblocks
+    (<= _ASSIGN_SUPER rows per jit call — see the watchdog note above);
+    per-row argmin is independent, so the split is result-invariant.
 
     The (N, 8L) float embedding never materializes: each scan block
     embeds (block, L) -> (block, 8L) on the fly, so device memory for the
@@ -128,10 +150,24 @@ def _assign_cells_kmers(km: jax.Array, key: jax.Array, n_cells: int,
     exact compiled program) used at every previously-measured size.
     """
     n, l = km.shape
+    centroids = _sample_centroids(km, key, n_cells)
+    if n > _ASSIGN_SUPER:
+        return jnp.concatenate(
+            [_assign_rows(km[s:s + _ASSIGN_SUPER], centroids, n_cells,
+                          block, cell_chunk)
+             for s in range(0, n, _ASSIGN_SUPER)])
+    return _assign_rows(km, centroids, n_cells, block, cell_chunk)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_cells", "block", "cell_chunk"))
+def _assign_rows(km: jax.Array, centroids: jax.Array, n_cells: int,
+                 block: int = 8192,
+                 cell_chunk: int | None = None) -> jax.Array:
+    """One assignment superblock: nearest sampled centroid per row."""
+    n, l = km.shape
     coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
     d = l * coords.shape[1]
-    idx = jax.random.choice(key, n, (n_cells,), replace=n < n_cells)
-    centroids = jnp.take(coords, km[idx], axis=0).reshape(n_cells, d)
     pad = (-n) % block
     kmp = jnp.pad(km, ((0, pad), (0, 0)))
     blocks = kmp.reshape(-1, block, l)
@@ -198,8 +234,10 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
     n, l = db_kmers.shape
     # int8 on device from the start: TPU tiling pads the L=25 lane dim
     # to 128 (5.1x), so (N, L) int32 k-mers occupy 8.6 GB padded HBM at
-    # 2^24 — int8 caps the resident (and scan-copy) cost at ~2.2 GB
-    km = jnp.asarray(db_kmers, jnp.int8)
+    # 2^24 — int8 caps the resident (and scan-copy) cost at ~2.2 GB.
+    # Cast on HOST first: jnp.asarray(int32_array, int8) may stage the
+    # int32 on device before converting
+    km = jnp.asarray(np.asarray(db_kmers, np.int8))
     if n_cells is None:
         n_cells = max(1, n // block_size)
 
