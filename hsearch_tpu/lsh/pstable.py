@@ -91,9 +91,29 @@ def bucket_indices_kmers(kmers: jax.Array,
 
     Equals bucket_indices(embed_kmers(kmers), params) without the (N, 8L)
     intermediate: per position, gather the pre-folded projection row.
+    Rows scan in 65536-row blocks: the unchunked per-position gather
+    accumulation compiled to ~100 GB of HBM buffers at 2^20 rows with
+    T*K=64 (XLA materializes the L gathered operands together); the
+    per-row math — and therefore every code — is unchanged.
     """
-    proj = _projections(kmers, params, is_kmers=True)
-    return jnp.floor(proj / params.w).astype(jnp.int32).transpose(1, 0, 2)
+    n, l = kmers.shape
+    t, d, k = params.a.shape
+    f = _folded_kmer_table(params, l)                     # (L, T, 20, K)
+    fl = f.transpose(0, 2, 1, 3).reshape(l, 20, t * k)
+    block = 65536
+    pad = (-n) % block
+    kmp = jnp.pad(kmers.astype(jnp.int32), ((0, pad), (0, 0)))
+    blocks = kmp.reshape(-1, block, l)
+
+    def body(_, blk):
+        proj = jnp.zeros((block, t * k), jnp.float32)
+        for pos in range(l):
+            proj = proj + jnp.take(fl[pos], blk[:, pos], axis=0)
+        proj = proj.reshape(block, t, k) + params.b[None, :, :]
+        return None, jnp.floor(proj / params.w).astype(jnp.int32)
+
+    _, idx = jax.lax.scan(body, None, blocks)
+    return idx.reshape(-1, t, k)[:n].transpose(1, 0, 2)
 
 
 def hash_codes(points_or_kmers: jax.Array, params: PStableParams,
