@@ -31,6 +31,9 @@ N_PROTEINS = int(os.environ.get("PCLUSTER_CHECK_N", "240"))
 N_FAMILIES = max(N_PROTEINS // 4, 1)
 PROT_LEN = 100
 TABLES = int(os.environ.get("PCLUSTER_CHECK_TABLES", "3"))
+# sigma=0.1 produces a handful of giant pre-groups -> exercises the
+# query-partition mode; the default exercises group mode
+SIGMA = float(os.environ.get("PCLUSTER_CHECK_SIGMA", "0.2"))
 
 
 class _DB:
@@ -84,9 +87,9 @@ def child_main(pid: int, nproc: int, port: int) -> None:
     key = jax.random.PRNGKey(11)
 
     dist = pcluster_dist.cluster_proteins_distributed(
-        db, key, tables=TABLES)
+        db, key, tables=TABLES, sigma=SIGMA)
     # single-process reference, computed in-process on the same corpus
-    ref = pcluster.cluster_proteins(db, key, tables=TABLES)
+    ref = pcluster.cluster_proteins(db, key, tables=TABLES, sigma=SIGMA)
 
     np.testing.assert_array_equal(dist.labels, ref.labels)
     assert len(dist.pre_groups) == len(ref.pre_groups), \

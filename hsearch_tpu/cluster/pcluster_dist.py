@@ -11,18 +11,21 @@ Design (SPMD over hosts, no shared state):
     same chunked GEMM shapes — ``klsh_codes_all``), so the per-table
     group lists are formed identically everywhere without any
     communication.
-  * **query partition**: every process builds the SAME group-
-    partitioned searcher over all of a table's pre-groups, then aligns
-    only its slice of the QUERIES.  A query's hits depend only on its
-    own seeds and its group's index (group-local probes, per-group
-    statistics, window-bounded extension), so the hit set partitions
-    exactly by query — asserted by tests against the single-process
-    pipeline.  Work balance is per-query (weight = the query's group
-    total AA, a serpentine assignment over the weight-sorted rows),
-    which stays even in the giant-group KLSH regimes (sigma <= 0.1)
-    where whole-group sharding degenerates to one process doing
-    everything — measured: group-level sharding desynchronized the
-    processes past the 30 s gloo collective-init window at 1e6.
+  * **work partition, two modes picked deterministically per table**:
+    when the pre-groups are balanceable (largest group weight <=
+    total/(2*nproc), the greedy-bound condition), whole GROUPS shard
+    across processes and each process indexes + aligns only its own —
+    no duplicated index builds (per-group hit sets are partition-
+    invariant: group-local probes, per-group statistics, window-
+    bounded extension).  In the giant-group KLSH regimes (sigma <=
+    0.1) group sharding degenerates to one process doing everything —
+    measured: it desynchronized the processes past the 30 s gloo
+    collective-init window at 1e6 — so every process then builds the
+    SAME searcher and aligns a serpentine weight-balanced slice of
+    the QUERIES instead (a query's hits depend only on its own seeds
+    and its group's index, so the hit set partitions exactly by
+    query).  Both modes are asserted bit-identical to the
+    single-process pipeline.
   * **merge**: after each table, processes exchange one compact int32
     edge array — (query, subject, union_flag) per hit — via a padded
     allgather (the only cross-host traffic; kilobytes per table).  The
@@ -134,19 +137,36 @@ def cluster_proteins_distributed(
         # group-local; every group subject is a potential extension)
         glen = (dstarts[subset + 1] - dstarts[subset]).astype(np.float64)
         gaa = np.bincount(group_of, weights=glen)
-        assign = partition_queries(gaa[group_of], nproc)
-        my_rows = np.nonzero(assign == pid)[0]
+        gw = gaa * gaa        # within-group alignment ~ all-vs-all
+        group_mode = nproc > 1 and len(new_groups) >= nproc and \
+            gw.max() <= gw.sum() / (2 * nproc)
+        if group_mode:
+            # balanceable groups: shard whole groups, index only ours
+            gassign = partition_queries(gw, nproc)
+            mine = [g for g, a in zip(new_groups, gassign) if a == pid]
+            subset_l = np.concatenate(mine) if mine \
+                else np.zeros(0, np.int64)
+            group_l = np.repeat(np.arange(len(mine)),
+                                [len(g) for g in mine]) if mine \
+                else np.zeros(0, np.int64)
+            my_rows = np.arange(len(subset_l))
+        else:
+            subset_l, group_l = subset, group_of
+            assign = partition_queries(gaa[group_of], nproc) \
+                if nproc > 1 else np.zeros(len(subset), np.int32)
+            my_rows = np.nonzero(assign == pid)[0]
         profiling.heartbeat(
             f"cluster_proteins_dist p{pid}: table {t + 1}/{tables} — "
+            f"{'group' if group_mode else 'query'} mode, "
             f"{len(my_rows)}/{len(subset)} query rows local, "
             f"{len(new_groups)} groups")
         hits = []
         if len(my_rows):
             searcher = align_pipeline.ProteinSearcher(
-                db, params, subset=subset, groups=group_of)
+                db, params, subset=subset_l, groups=group_l)
             hits = searcher.search_all(
                 exclude_pairs=hit_pairs if t else None,
-                query_rows=my_rows)
+                query_rows=None if group_mode else my_rows)
             if gapped and hits:
                 by_query: dict[int, list] = {}
                 for h in hits:

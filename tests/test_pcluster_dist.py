@@ -74,7 +74,18 @@ def test_single_process_degenerate_equals_cluster_proteins():
 
 def test_two_process_cluster_proteins_matches_single():
     """Spawn a REAL 2-process jax.distributed CPU cluster; every process
-    asserts distributed labels/groups/hits == single-process."""
+    asserts distributed labels/groups/hits == single-process
+    (balanceable groups -> the GROUP-partition mode)."""
+    _mp_check.run_local_cluster(
+        nproc=2, ndev_per_proc=2,
+        module="hsearch_tpu.cluster._mp_pcluster_check")
+
+
+def test_two_process_giant_group_query_mode(monkeypatch):
+    """Same real cluster with sigma=0.1: a handful of giant pre-groups
+    forces the QUERY-partition mode; results must still be
+    bit-identical to single-process."""
+    monkeypatch.setenv("PCLUSTER_CHECK_SIGMA", "0.1")
     _mp_check.run_local_cluster(
         nproc=2, ndev_per_proc=2,
         module="hsearch_tpu.cluster._mp_pcluster_check")
