@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import reduced
+from .. import native_ext
 
 MER = 6           # m_unMer (hash_search.cpp:31)
 SUFFIX = 4        # narrowing residues after the 6-mer (:212-248)
@@ -112,16 +113,40 @@ _G10_PASS = 15    # "subject has no 4th suffix residue" — matches anything
 
 
 def host_codes(seq: np.ndarray, starts: np.ndarray):
-    """numpy twin of `_codes_for` + the full-seed validity of
-    `query_probe_codes`: (code uint32, valid6, valid10, qgrp10).
+    """Host seed tables: (code uint32, valid6, valid10, qgrp10).
 
     valid6 is the db-side rule (a valid 6-mer; shorter suffixes
     PAD-match), valid10 the query-side rule (all 10 seed residues valid
     and in-sequence).  The host probe path (`probe_host`) needs only the
     base (untruncated) probe code per position, so the truncated PAD
-    variants are not materialized.  Equivalence with the device
-    functions is asserted in tests/test_align.py.
+    variants are not materialized.
+
+    Dispatches to the native fused pass (``native_ext.seed_codes``, one
+    parallel sweep over sequences) when the C++ library is built; the
+    numpy twin below is the fallback and the parity oracle
+    (tests/test_native.py asserts bit-equality, tests/test_align.py ties
+    both to the device functions).
     """
+    return _seed_tables(seq, starts)[:4]
+
+
+def _seed_tables(seq: np.ndarray, starts: np.ndarray):
+    """(code, valid6, valid10, qgrp10, g10) in one pass.
+
+    Native: one fused parallel sweep (``hs_seed_codes``).  Fallback:
+    the numpy twins composed (``_host_codes_np`` + ``g10_table``)."""
+    nat = native_ext.seed_codes(np.ascontiguousarray(seq, np.int32),
+                                np.ascontiguousarray(starts, np.int64),
+                                _GROUP21)
+    if nat is not None:
+        return nat
+    code, v6, v10, qg = _host_codes_np(seq, starts)
+    return code, v6, v10, qg, g10_table(seq, starts)
+
+
+def _host_codes_np(seq: np.ndarray, starts: np.ndarray):
+    """numpy twin of `_codes_for` + the full-seed validity of
+    `query_probe_codes` (see ``host_codes``)."""
     seq = np.asarray(seq)
     starts = np.asarray(starts)
     s = len(seq)
@@ -173,6 +198,17 @@ class HostSeedView:
     positions: np.ndarray   # (P,) int64
     g10_at: np.ndarray      # (S,) int8
     grouped: bool
+    _keys64: np.ndarray | None = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    @property
+    def keys64(self) -> np.ndarray:
+        """``keys`` widened to uint64 for the native probe — cached so
+        an ungrouped (uint32-keyed) view pays the copy once, not per
+        probe chunk; grouped views are already uint64 (no copy)."""
+        if self._keys64 is None:
+            self._keys64 = np.ascontiguousarray(self.keys, np.uint64)
+        return self._keys64
 
 
 def _view_keys(sc: np.ndarray, group_starts: np.ndarray | None):
@@ -229,6 +265,13 @@ def probe_host(view: HostSeedView, qcodes: np.ndarray, qgrp10: np.ndarray,
             | q.astype(np.uint64)
     else:
         qk = q
+    if native_ext.available():      # don't widen keys64 for the fallback
+        nat = native_ext.probe_sorted(view.keys64, view.positions,
+                                      qk.astype(np.uint64), view.g10_at,
+                                      np.asarray(qgrp10, np.int32),
+                                      cand_max)
+        if nat is not None:
+            return nat
     lo = np.searchsorted(view.keys, qk, side="left")
     hi = np.searchsorted(view.keys, qk, side="right")
     cnt = hi - lo
@@ -288,14 +331,17 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
     straight back off the device, seconds of pure transfer per searcher
     on a remote-TPU link for data that was on host one line earlier.
     """
-    # codes on host (one numpy pass — no device compile per index size);
-    # db entries need only the valid 6-mer: shorter suffixes PAD-match
-    codes, valid6, _, _ = host_codes(seq, starts)
+    # codes on host (one native/numpy pass — no device compile per index
+    # size); db entries need only the valid 6-mer: shorter suffixes
+    # PAD-match.  The fused pass also yields the g10 filter table.
+    codes, valid6, _, _, g10 = _seed_tables(seq, starts)
     pos = np.nonzero(valid6)[0].astype(np.int32)
     c = codes[pos]
     gs = None
     if protein_groups is None:
-        order = np.argsort(c, kind="stable")
+        # parallel LSD radix when native (uniform high bytes skipped),
+        # np stable argsort otherwise — identical permutations
+        order = native_ext.argsort_u64(c.astype(np.uint64))
     else:
         pg = np.asarray(protein_groups)
         n_groups = int(pg.max()) + 1 if pg.size else 0
@@ -307,12 +353,11 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
         # this sort dominates per-table index build at 1e6 proteins
         key = (g.astype(np.uint64) << np.uint64(32)) \
             | c.astype(np.uint64)
-        order = np.argsort(key, kind="stable")
+        order = native_ext.argsort_u64(key)
         counts = np.bincount(g, minlength=n_groups)
         gs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     c_sorted = c[order]
     pos_sorted = pos[order].astype(np.int32)
-    g10 = g10_table(seq, starts)
     index = SeedIndex(
         sorted_codes=jnp.asarray(c_sorted),
         positions=jnp.asarray(pos_sorted),

@@ -26,6 +26,8 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if os.environ.get("HSEARCH_NO_NATIVE"):     # force the numpy paths
+        return None
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -61,6 +63,32 @@ def _load():
         np.ctypeslib.ndpointer(np.uint8), i64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(i64),
         ctypes.POINTER(i64)]
+    lib.hs_seed_codes.restype = None
+    lib.hs_seed_codes.argtypes = [
+        np.ctypeslib.ndpointer(np.int32), i64,
+        np.ctypeslib.ndpointer(np.int64), i64,
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.uint32), np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int8)]
+    lib.hs_argsort_u64.restype = None
+    lib.hs_argsort_u64.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64), i64,
+        np.ctypeslib.ndpointer(np.int64)]
+    lib.hs_probe_count.restype = i64
+    lib.hs_probe_count.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64), np.ctypeslib.ndpointer(np.int64),
+        i64, np.ctypeslib.ndpointer(np.uint64), i64,
+        np.ctypeslib.ndpointer(np.int8), np.ctypeslib.ndpointer(np.int32),
+        i64, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32)]
+    lib.hs_probe_fill.restype = None
+    lib.hs_probe_fill.argtypes = [
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int64),
+        i64, np.ctypeslib.ndpointer(np.int8),
+        np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64)]
     _lib = lib
     return lib
 
@@ -253,3 +281,75 @@ def _align_gapped_py(q, d, sub21, gap_open, gap_ext, drop, band):
             jj -= 1
     ops = np.asarray(rev[::-1], np.uint8)
     return int(best), ops, int(bi), int(bi - band + bj)
+
+
+# -- seed-index host kernels ------------------------------------------------
+def seed_codes(seq: np.ndarray, starts: np.ndarray, group21: np.ndarray):
+    """Fused host_codes + g10_table (align/seed_index.py numpy twins).
+
+    Returns (code u32, valid6 bool, valid10 bool, qgrp10 i32, g10 i8) for
+    every position of the concatenated DB, or None when the native library
+    is unavailable.  One parallel pass; bit-identical to the numpy path at
+    every position callers read (valid6 positions for db codes, valid10
+    positions for probe codes).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, np.int32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    s = len(seq)
+    code = np.empty(s, np.uint32)
+    valid6 = np.empty(s, np.uint8)
+    valid10 = np.empty(s, np.uint8)
+    qgrp10 = np.empty(s, np.int32)
+    g10 = np.empty(s, np.int8)
+    lib.hs_seed_codes(seq, s, starts, len(starts) - 1,
+                      np.ascontiguousarray(group21, np.int32),
+                      code, valid6, valid10, qgrp10, g10)
+    return code, valid6.astype(bool), valid10.astype(bool), qgrp10, g10
+
+
+def argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of uint64 keys (parallel LSD radix); falls back to
+    np.argsort(kind="stable")."""
+    keys = np.ascontiguousarray(keys, np.uint64)
+    lib = _load()
+    if lib is None:
+        return np.argsort(keys, kind="stable")
+    order = np.empty(len(keys), np.int64)
+    lib.hs_argsort_u64(keys, len(keys), order)
+    return order
+
+
+def probe_sorted(keys: np.ndarray, positions: np.ndarray,
+                 qkeys: np.ndarray, g10_at: np.ndarray,
+                 qgrp10: np.ndarray, cand_max: int):
+    """Batched sorted-range probe with the 4th-suffix-group filter.
+
+    Returns (rows i64, dpos i64, n_over) in the exact (row, bucket-order)
+    pair order of seed_index.probe_host's numpy path, or None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    positions = np.ascontiguousarray(positions, np.int64)
+    qkeys = np.ascontiguousarray(qkeys, np.uint64)
+    g10_at = np.ascontiguousarray(g10_at, np.int8)
+    qgrp10 = np.ascontiguousarray(qgrp10, np.int32)
+    nq = len(qkeys)
+    lo = np.empty(nq, np.int64)
+    cap = np.empty(nq, np.int32)
+    keep = np.empty(nq, np.int32)
+    n_over = lib.hs_probe_count(keys, positions, len(keys), qkeys, nq,
+                                g10_at, qgrp10, cand_max, lo, cap, keep)
+    offs = np.zeros(nq, np.int64)
+    np.cumsum(keep[:-1], out=offs[1:] if nq else offs[:0])
+    total = int(offs[-1] + keep[-1]) if nq else 0
+    rows = np.empty(total, np.int64)
+    dpos = np.empty(total, np.int64)
+    lib.hs_probe_fill(positions, lo, cap, offs, nq, g10_at, qgrp10,
+                      rows, dpos)
+    return rows, dpos, int(n_over)

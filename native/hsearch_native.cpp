@@ -24,6 +24,10 @@
 #include <numeric>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -267,6 +271,215 @@ int64_t hs_brute_search(const int32_t* centers, int64_t c,
     }
   }
   return hits;
+}
+
+// ---------------------------------------------------------------------------
+// Seed-code generation (align/seed_index.py host_codes + g10_table fused).
+// For every position p of the concatenated DB, under the owning sequence's
+// end e (starts bracket each sequence) and the murphy10+unknown table
+// group21[21]:
+//   code    = base-10 6-mer key * 16^3 + 3 suffix nibbles (group, 10 for
+//             unknown, 15 past the owning sequence's end)
+//   valid6  = all 6 seed residues in-sequence with group < 10
+//   valid10 = valid6 and residues 6..9 also in-sequence with group < 10
+//   qgrp10  = group of residue p+9 taken from the GLOBAL array (10 past
+//             the array) — only read at valid10 positions, where it is
+//             in-sequence; global semantics match the numpy twin
+//   g10     = group of residue p+9 within the owning sequence, 15 past
+//             its end (the "matches anything" probe pass value)
+// Parallel over sequences; bit-identical to the numpy implementation at
+// every position that any caller reads.
+// ---------------------------------------------------------------------------
+void hs_seed_codes(const int32_t* seq, int64_t s, const int64_t* starts,
+                   int64_t n, const int32_t* group21, uint32_t* code,
+                   uint8_t* valid6, uint8_t* valid10, int32_t* qgrp10,
+                   int8_t* g10) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t r = 0; r < n; ++r) {
+    const int64_t b = starts[r], e = starts[r + 1];
+    for (int64_t p = b; p < e; ++p) {
+      int64_t key = 0;
+      bool v6 = true;
+      for (int i = 0; i < 6; ++i) {
+        const int64_t q = p + i;
+        int32_t gg = 10;
+        if (q < s) {
+          int32_t v = seq[q];
+          gg = group21[v > 20 ? 20 : v];
+        }
+        key = key * 10 + gg;
+        v6 = v6 && gg < 10 && q < e;
+      }
+      uint32_t c = (uint32_t)key * 4096u;
+      for (int i = 0; i < 3; ++i) {
+        const int64_t q = p + 6 + i;
+        uint32_t nib = 15;
+        if (q < e) {
+          int32_t v = seq[q];
+          nib = (uint32_t)group21[v > 20 ? 20 : v];
+        }
+        c += nib << (4 * (2 - i));
+      }
+      bool v10 = v6;
+      for (int i = 6; i < 10; ++i) {
+        const int64_t q = p + i;
+        int32_t gg = 10;
+        if (q < s) {
+          int32_t v = seq[q];
+          gg = group21[v > 20 ? 20 : v];
+        }
+        v10 = v10 && gg < 10 && q < e;
+      }
+      code[p] = c;
+      valid6[p] = v6;
+      valid10[p] = v10;
+      const int64_t q9 = p + 9;
+      int32_t g9_global = 10;
+      if (q9 < s) {
+        int32_t v = seq[q9];
+        g9_global = group21[v > 20 ? 20 : v];
+      }
+      qgrp10[p] = g9_global;
+      g10[p] = q9 < e ? (int8_t)g9_global : (int8_t)15;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Stable argsort of uint64 keys: LSD radix, 8-bit digits, byte passes with
+// a uniform digit skipped.  Matches np.argsort(keys, kind="stable") — the
+// per-table (group << 32 | code) index sort that dominates seed-index
+// builds at 1e6 proteins.  Parallel histogram + chunk-major stable scatter.
+// ---------------------------------------------------------------------------
+void hs_argsort_u64(const uint64_t* keys, int64_t n, int64_t* order) {
+  if (n == 0) return;
+  std::vector<uint64_t> kbuf(keys, keys + n), kalt(n);
+  std::vector<int64_t> ibuf(n), ialt(n);
+  std::iota(ibuf.begin(), ibuf.end(), (int64_t)0);
+  uint64_t* ksrc = kbuf.data();
+  uint64_t* kdst = kalt.data();
+  int64_t* isrc = ibuf.data();
+  int64_t* idst = ialt.data();
+  int nthreads = 1;
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+#pragma omp single
+    nthreads = omp_get_num_threads();
+  }
+#endif
+  const int64_t chunk = (n + nthreads - 1) / nthreads;
+  std::vector<int64_t> hist((size_t)nthreads * 256);
+  for (int pass = 0; pass < 8; ++pass) {
+    const int shift = pass * 8;
+    std::fill(hist.begin(), hist.end(), 0);
+#pragma omp parallel num_threads(nthreads)
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t* h = hist.data() + (size_t)t * 256;
+      const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i)
+        ++h[(ksrc[i] >> shift) & 0xff];
+    }
+    // skip the pass when one digit holds every key (common: high bytes
+    // of (group << 32 | code) keys are mostly zero)
+    bool uniform = false;
+    for (int d = 0; d < 256 && !uniform; ++d) {
+      int64_t tot = 0;
+      for (int t = 0; t < nthreads; ++t) tot += hist[(size_t)t * 256 + d];
+      uniform = tot == n;
+    }
+    if (uniform) continue;
+    // exclusive offsets in (digit, thread-chunk) order => stable
+    int64_t run = 0;
+    for (int d = 0; d < 256; ++d)
+      for (int t = 0; t < nthreads; ++t) {
+        int64_t* slot = &hist[(size_t)t * 256 + d];
+        const int64_t c = *slot;
+        *slot = run;
+        run += c;
+      }
+#pragma omp parallel num_threads(nthreads)
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t* h = hist.data() + (size_t)t * 256;
+      const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t at = h[(ksrc[i] >> shift) & 0xff]++;
+        kdst[at] = ksrc[i];
+        idst[at] = isrc[i];
+      }
+    }
+    std::swap(ksrc, kdst);
+    std::swap(isrc, idst);
+  }
+  if (isrc != order) std::memcpy(order, isrc, (size_t)n * sizeof(int64_t));
+}
+
+// ---------------------------------------------------------------------------
+// Batched sorted-range probe (align/seed_index.py probe_host).  Two-phase
+// protocol so the caller allocates exact-size outputs:
+//   hs_probe_count: per query, binary-search the sorted key range, cap at
+//     cand_max candidates (first cand_max of the bucket, matching the
+//     device probe), count survivors of the 4th-suffix-group filter
+//     (g10 == 15 | g10 == qgrp10).  Returns buckets-over-cap count.
+//   hs_probe_fill: re-walk the counted candidates, writing survivor
+//     (row, dpos) pairs at caller-prefix-summed offsets — ascending
+//     (row, bucket order), duplicate-free, exactly the numpy pair order.
+// ---------------------------------------------------------------------------
+int64_t hs_probe_count(const uint64_t* keys, const int64_t* pos, int64_t p,
+                       const uint64_t* qkeys, int64_t nq, const int8_t* g10,
+                       const int32_t* qgrp10, int64_t cand_max,
+                       int64_t* lo_out, int32_t* cap_out, int32_t* keep_out) {
+  int64_t n_over = 0;
+#pragma omp parallel for schedule(dynamic, 1024) reduction(+ : n_over)
+  for (int64_t i = 0; i < nq; ++i) {
+    const uint64_t* lo = std::lower_bound(keys, keys + p, qkeys[i]);
+    const uint64_t* hi = std::upper_bound(lo, keys + p, qkeys[i]);
+    int64_t cnt = hi - lo;
+    if (cnt > cand_max) {
+      ++n_over;
+      cnt = cand_max;
+    }
+    const int64_t at = lo - keys;
+    int32_t keep = 0;
+    for (int64_t j = at; j < at + cnt; ++j) {
+      const int8_t g = g10[pos[j]];
+      keep += g == 15 || (int32_t)g == qgrp10[i];
+    }
+    lo_out[i] = at;
+    cap_out[i] = (int32_t)cnt;
+    keep_out[i] = keep;
+  }
+  return n_over;
+}
+
+void hs_probe_fill(const int64_t* pos, const int64_t* lo, const int32_t* cap,
+                   const int64_t* offs, int64_t nq, const int8_t* g10,
+                   const int32_t* qgrp10, int64_t* rows_out,
+                   int64_t* dpos_out) {
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (int64_t i = 0; i < nq; ++i) {
+    int64_t out = offs[i];
+    const int64_t at = lo[i];
+    for (int64_t j = at; j < at + cap[i]; ++j) {
+      const int64_t id = pos[j];
+      const int8_t g = g10[id];
+      if (g == 15 || (int32_t)g == qgrp10[i]) {
+        rows_out[out] = i;
+        dpos_out[out] = id;
+        ++out;
+      }
+    }
+  }
 }
 
 }  // extern "C"

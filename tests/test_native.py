@@ -112,3 +112,74 @@ def test_refine_gapped_improves_indel_hit(rng):
     assert best.score > best_ungapped
     assert best.gap_open >= 1
     assert best.aln_len > max(h.aln_len for h in hits)
+
+
+def _random_db(rng, n=150, lmin=3, lmax=90):
+    lens = rng.integers(lmin, lmax, n)
+    starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    seq = rng.integers(0, 21, starts[-1]).astype(np.int32)
+    return seq, starts
+
+
+@needs_native
+def test_seed_codes_native_matches_numpy(rng):
+    from hsearch_tpu.align import seed_index
+    seq, starts = _random_db(rng)
+    nat = native_ext.seed_codes(seq, starts, seed_index._GROUP21)
+    code, v6, v10, qg = seed_index._host_codes_np(seq, starts)
+    g10 = seed_index.g10_table(seq, starts)
+    np.testing.assert_array_equal(nat[0], code)
+    np.testing.assert_array_equal(nat[1], v6)
+    np.testing.assert_array_equal(nat[2], v10)
+    np.testing.assert_array_equal(nat[3], qg.astype(np.int32))
+    np.testing.assert_array_equal(nat[4], g10)
+
+
+@needs_native
+def test_argsort_u64_native_matches_numpy_stable(rng):
+    keys = rng.integers(0, 2**48, 50000, dtype=np.uint64)
+    keys[::5] = keys[7]        # heavy duplicates: stability must hold
+    keys[1000:1200] = 0
+    got = native_ext.argsort_u64(keys)
+    np.testing.assert_array_equal(got, np.argsort(keys, kind="stable"))
+    # empty input
+    e = np.zeros(0, np.uint64)
+    assert native_ext.argsort_u64(e).shape == (0,)
+
+
+@needs_native
+def test_probe_sorted_native_matches_numpy(rng, monkeypatch):
+    from hsearch_tpu.align import seed_index
+    seq, starts = _random_db(rng)
+    code, v6, v10, qg = seed_index._host_codes_np(seq, starts)
+    qcodes = code[v10]
+    qgrp10 = qg[v10].astype(np.int32)
+    for grouped in (False, True):
+        pg = rng.integers(0, 6, len(starts) - 1) if grouped else None
+        _, view = seed_index.build_index_and_view(seq, starts, pg)
+        qgroups = None
+        if grouped:
+            pid = np.searchsorted(starts, np.nonzero(v10)[0],
+                                  side="right") - 1
+            qgroups = pg[pid]
+        for cand_max in (4, 64):     # small cap forces truncation/n_over
+            got = seed_index.probe_host(view, qcodes, qgrp10, cand_max,
+                                        qgroups)
+            monkeypatch.setattr(native_ext, "available", lambda: False)
+            want = seed_index.probe_host(view, qcodes, qgrp10, cand_max,
+                                         qgroups)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+            assert got[2] == want[2]
+
+
+@needs_native
+def test_probe_sorted_empty_queries():
+    from hsearch_tpu.align import seed_index
+    rng = np.random.default_rng(0)
+    seq, starts = _random_db(rng, n=10)
+    _, view = seed_index.build_index_and_view(seq, starts)
+    rows, dpos, n_over = seed_index.probe_host(
+        view, np.zeros(0, np.uint32), np.zeros(0, np.int32), 8)
+    assert rows.shape == (0,) and dpos.shape == (0,) and n_over == 0
