@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native_ext
 from ..core import alphabet
 from ..utils import profiling
 from . import blast_stat, extend, seed_index
@@ -72,7 +73,12 @@ def _collapse_diag_runs(qpos, dpos, qpid, dpid, tol: int):
     k1 = qpid.astype(np.int64) * (int(dpid.max()) + 1 if len(dpid) else 1) \
         + dpid
     k2 = (diag + s) * s + qpos
-    order = np.lexsort((k2, k1))
+    # lexsort((k2, k1)) as two stable argsorts (parallel radix when the
+    # native lib is built) — both keys are nonnegative, so the int64
+    # bit patterns order identically as uint64
+    o1 = native_ext.argsort_u64(k2.view(np.uint64))
+    order = o1[native_ext.argsort_u64(
+        np.ascontiguousarray(k1[o1]).view(np.uint64))]
     q = qpos[order]
     k1s, dgs = k1[order], diag[order]
     new_run = np.ones(len(q), bool)
@@ -255,11 +261,11 @@ class ProteinSearcher:
         # drop subjects without the full 10-residue local seed
         # (hash_search.cpp:538-540); pairs arrive (qpos, dpos)-sorted and
         # duplicate-free from the single-probe ragged pass
-        pid = np.searchsorted(self.starts, dpos, side="right") - 1
+        pid = native_ext.searchsorted_right(self.starts, dpos) - 1
         ok = self.starts[pid + 1] - dpos >= seed_index.SEED_LEN
         qpos, dpos = qpos[ok], dpos[ok]
         if self.params.collapse_runs and len(qpos):
-            dpid2 = np.searchsorted(self.starts, dpos, side="right") - 1
+            dpid2 = native_ext.searchsorted_right(self.starts, dpos) - 1
             keep = _collapse_diag_runs(qpos, dpos,
                                        np.zeros(len(qpos), np.int64),
                                        dpid2, self.params.collapse_runs)
@@ -272,7 +278,7 @@ class ProteinSearcher:
         # floor + strict compare reproduces the reference's float test:
         # continue while deficit <= 8.938 <=> integer deficit <= 8
         drop = jnp.int32(int(self.cutoffs.ungap_ext_drop))
-        pid = np.searchsorted(self.starts, dpos, side="right") - 1
+        pid = native_ext.searchsorted_right(self.starts, dpos) - 1
         dlo = self.starts[pid]
         dhi = self.starts[pid + 1]
         out = {k: [] for k in ("score", "match", "gate_score",
@@ -645,13 +651,13 @@ class ProteinSearcher:
             # restrict probing positions to the query slice's proteins
             qr = np.zeros(len(self.ids), bool)
             qr[np.asarray(query_rows)] = True
-            ppid_all = np.searchsorted(self.starts, qidx,
-                                       side="right") - 1
+            ppid_all = native_ext.searchsorted_right(
+                self.starts, qidx) - 1
             qidx = qidx[qr[ppid_all]]
         qgroups = None
         if self.groups is not None:
             # group of the protein owning each probing position
-            ppid = np.searchsorted(self.starts, qidx, side="right") - 1
+            ppid = native_ext.searchsorted_right(self.starts, qidx) - 1
             qgroups = self.groups[ppid]
         rows, dpos, n_over = seed_index.probe_host(
             self._hview, code[qidx], qgrp10_all[qidx],
@@ -667,10 +673,10 @@ class ProteinSearcher:
         # subjects need the full 10-residue seed (hash_search.cpp:538-540);
         # pairs arrive (qpos, dpos)-sorted and duplicate-free from the
         # single-probe ragged pass
-        dpid = np.searchsorted(self.starts, dpos, side="right") - 1
+        dpid = native_ext.searchsorted_right(self.starts, dpos) - 1
         ok = self.starts[dpid + 1] - dpos >= seed_index.SEED_LEN
         qpos, dpos, dpid = qpos[ok], dpos[ok], dpid[ok]
-        qpid = np.searchsorted(self.starts, qpos, side="right") - 1
+        qpid = native_ext.searchsorted_right(self.starts, qpos) - 1
         if exclude_pairs is not None and len(qpos):
             pk = (self.ids[qpid].astype(np.uint64) << np.uint64(32)) \
                 | self.ids[dpid].astype(np.uint64)

@@ -342,10 +342,11 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
         # parallel LSD radix when native (uniform high bytes skipped),
         # np stable argsort otherwise — identical permutations
         order = native_ext.argsort_u64(c.astype(np.uint64))
+        view_keys = None          # raw uint32 codes
     else:
         pg = np.asarray(protein_groups)
         n_groups = int(pg.max()) + 1 if pg.size else 0
-        pid = np.searchsorted(np.asarray(starts), pos, side="right") - 1
+        pid = native_ext.searchsorted_right(starts, pos) - 1
         g = pg[pid]
         # one stable argsort on the fused (group << 32) | code key
         # orders identically to np.lexsort((c, g)) (both stable, same
@@ -354,6 +355,10 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
         key = (g.astype(np.uint64) << np.uint64(32)) \
             | c.astype(np.uint64)
         order = native_ext.argsort_u64(key)
+        # the sorted composite IS the host-view key — recomputing it
+        # via _view_keys re-ran the per-position group searchsorted
+        # (measured 12 s of a 1e5/tables=4 run)
+        view_keys = key[order]
         counts = np.bincount(g, minlength=n_groups)
         gs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     c_sorted = c[order]
@@ -365,9 +370,10 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
         starts=jnp.asarray(starts, jnp.int32),
         group_starts=None if gs is None else jnp.asarray(gs),
         g10_at=jnp.asarray(g10))
-    view = HostSeedView(keys=_view_keys(c_sorted, gs),
-                        positions=pos_sorted.astype(np.int64),
-                        g10_at=g10, grouped=gs is not None)
+    view = HostSeedView(
+        keys=c_sorted if view_keys is None else view_keys,
+        positions=pos_sorted.astype(np.int64),
+        g10_at=g10, grouped=gs is not None)
     return index, view
 
 

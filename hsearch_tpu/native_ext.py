@@ -75,6 +75,11 @@ def _load():
     lib.hs_argsort_u64.argtypes = [
         np.ctypeslib.ndpointer(np.uint64), i64,
         np.ctypeslib.ndpointer(np.int64)]
+    lib.hs_searchsorted_right.restype = None
+    lib.hs_searchsorted_right.argtypes = [
+        np.ctypeslib.ndpointer(np.int64), i64,
+        np.ctypeslib.ndpointer(np.int64), i64,
+        np.ctypeslib.ndpointer(np.int64)]
     lib.hs_probe_count.restype = i64
     lib.hs_probe_count.argtypes = [
         np.ctypeslib.ndpointer(np.uint64), np.ctypeslib.ndpointer(np.int64),
@@ -308,6 +313,19 @@ def seed_codes(seq: np.ndarray, starts: np.ndarray, group21: np.ndarray):
                       np.ascontiguousarray(group21, np.int32),
                       code, valid6, valid10, qgrp10, g10)
     return code, valid6.astype(bool), valid10.astype(bool), qgrp10, g10
+
+
+def searchsorted_right(a: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """np.searchsorted(a, q, side="right") with a parallel native binary
+    search; falls back to numpy.  ``a`` must be sorted int64."""
+    lib = _load()
+    a = np.ascontiguousarray(a, np.int64)
+    q = np.ascontiguousarray(q, np.int64)
+    if lib is None:
+        return np.searchsorted(a, q, side="right")
+    out = np.empty(len(q), np.int64)
+    lib.hs_searchsorted_right(a, len(a), q, len(q), out)
+    return out
 
 
 def argsort_u64(keys: np.ndarray) -> np.ndarray:

@@ -425,6 +425,19 @@ void hs_argsort_u64(const uint64_t* keys, int64_t n, int64_t* order) {
 }
 
 // ---------------------------------------------------------------------------
+// Parallel searchsorted (side=right) over a sorted int64 array — the
+// protein-id-of-position lookups (searchsorted(starts, pos) - 1) run over
+// tens of millions of seed-pair positions per table and are
+// single-threaded in numpy.
+// ---------------------------------------------------------------------------
+void hs_searchsorted_right(const int64_t* a, int64_t n, const int64_t* q,
+                           int64_t m, int64_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < m; ++i)
+    out[i] = std::upper_bound(a, a + n, q[i]) - a;
+}
+
+// ---------------------------------------------------------------------------
 // Batched sorted-range probe (align/seed_index.py probe_host).  Two-phase
 // protocol so the caller allocates exact-size outputs:
 //   hs_probe_count: per query, binary-search the sorted key range, cap at
