@@ -669,46 +669,62 @@ class ProteinSearcher:
                 f"{self.params.cand_max}; raise SearchParams.cand_max")
         if rows.size == 0:
             return []
-        qpos = qidx[rows]
-        # subjects need the full 10-residue seed (hash_search.cpp:538-540);
-        # pairs arrive (qpos, dpos)-sorted and duplicate-free from the
-        # single-probe ragged pass
-        dpid = native_ext.searchsorted_right(self.starts, dpos) - 1
-        ok = self.starts[dpid + 1] - dpos >= seed_index.SEED_LEN
-        qpos, dpos, dpid = qpos[ok], dpos[ok], dpid[ok]
-        qpid = native_ext.searchsorted_right(self.starts, qpos) - 1
-        if exclude_pairs is not None and len(qpos):
-            pk = (self.ids[qpid].astype(np.uint64) << np.uint64(32)) \
-                | self.ids[dpid].astype(np.uint64)
-            at = np.searchsorted(exclude_pairs, pk)
-            at = np.minimum(at, max(len(exclude_pairs) - 1, 0))
-            known = (exclude_pairs[at] == pk) if len(exclude_pairs) \
-                else np.zeros(len(pk), bool)
-            qpos, dpos = qpos[~known], dpos[~known]
-            qpid, dpid = qpid[~known], dpid[~known]
-            if qpos.size == 0:
-                return []
-        if self.params.collapse_runs and len(qpos):
-            keep = _collapse_diag_runs(qpos, dpos, qpid, dpid,
-                                       self.params.collapse_runs)
-            keep.sort()                # keep qpos ascending for slicing
-            qpos, dpos = qpos[keep], dpos[keep]
-            qpid, dpid = qpid[keep], dpid[keep]
-        query_local = qpid
+        tol = int(self.params.collapse_runs or 0)
+        prep = native_ext.pair_prep(rows, dpos, qidx, self.starts,
+                                    self.ids, exclude_pairs, tol)
+        if prep is not None:
+            # one fused parallel pass: pid lookups, SEED_LEN + exclude
+            # filters, diag-run collapse, packed extension layout — the
+            # numpy chain below ran ~8 separate passes over ~50M
+            # pairs/table at 1e5 proteins
+            six, pids_arr = prep
+            query_local = pids_arr[0]
+            dpid = pids_arr[1]
+        else:
+            qpos = qidx[rows]
+            # subjects need the full 10-residue seed
+            # (hash_search.cpp:538-540); pairs arrive (qpos, dpos)-sorted
+            # and duplicate-free from the single-probe ragged pass
+            dpid = native_ext.searchsorted_right(self.starts, dpos) - 1
+            ok = self.starts[dpid + 1] - dpos >= seed_index.SEED_LEN
+            qpos, dpos, dpid = qpos[ok], dpos[ok], dpid[ok]
+            qpid = native_ext.searchsorted_right(self.starts, qpos) - 1
+            if exclude_pairs is not None and len(qpos):
+                pk = (self.ids[qpid].astype(np.uint64) << np.uint64(32)) \
+                    | self.ids[dpid].astype(np.uint64)
+                at = np.searchsorted(exclude_pairs, pk)
+                at = np.minimum(at, max(len(exclude_pairs) - 1, 0))
+                known = (exclude_pairs[at] == pk) if len(exclude_pairs) \
+                    else np.zeros(len(pk), bool)
+                qpos, dpos = qpos[~known], dpos[~known]
+                qpid, dpid = qpid[~known], dpid[~known]
+            if tol and len(qpos):
+                keep = _collapse_diag_runs(qpos, dpos, qpid, dpid, tol)
+                keep.sort()            # keep qpos ascending for slicing
+                qpos, dpos = qpos[keep], dpos[keep]
+                qpid, dpid = qpid[keep], dpid[keep]
+            query_local = qpid
+            six = np.empty((6, len(qpos)), np.int32)
+            for i, arr in enumerate((qpos, dpos, self.starts[qpid],
+                                     self.starts[qpid + 1],
+                                     self.starts[dpid],
+                                     self.starts[dpid + 1])):
+                six[i] = arr
+        n_pairs = six.shape[1]
         profiling.add("align/probe", time.perf_counter() - _t0)
+        if n_pairs == 0:
+            return []
 
         # 2. one batched extension stream over the shared array
         _t0 = time.perf_counter()
         p = self.params
         drop = jnp.int32(int(self.cutoffs.ungap_ext_drop))
-        qlo, qhi = self.starts[qpid], self.starts[qpid + 1]
-        dlo, dhi = self.starts[dpid], self.starts[dpid + 1]
         sdev = self._seq_dev      # length-grid padded: shared programs
         res = {k: [] for k in ("score", "match", "gate_score", "gate_match",
                                "q_beg", "q_end", "d_beg", "d_end")}
         profiling.heartbeat(
-            f"search_all: extending {qpos.shape[0]} seed pairs "
-            f"({-(-qpos.shape[0] // p.pair_batch)} batches)")
+            f"search_all: extending {n_pairs} seed pairs "
+            f"({-(-n_pairs // p.pair_batch)} batches)")
         # dispatch every batch first (async), then harvest: the
         # device->host result transfers of batch i overlap batch i+1's
         # compute — on a remote-TPU link the per-call transfer tail was
@@ -718,15 +734,13 @@ class ProteinSearcher:
         # on TPU: ~147 ms per 8192-lane call vs ~ms dense)
         windowed = self._win <= 512
         pending = []
-        for s in range(0, qpos.shape[0], p.pair_batch):
+        for s in range(0, n_pairs, p.pair_batch):
             if s and s % (64 * p.pair_batch) == 0:
                 profiling.heartbeat(
-                    f"search_all: {s}/{qpos.shape[0]} pairs dispatched")
-            sl = slice(s, s + p.pair_batch)
-            n_real = len(qpos[sl])
+                    f"search_all: {s}/{n_pairs} pairs dispatched")
+            n_real = min(p.pair_batch, n_pairs - s)
             packed = np.zeros((6, p.pair_batch), np.int32)
-            for i, arr in enumerate((qpos, dpos, qlo, qhi, dlo, dhi)):
-                packed[i, :n_real] = arr[sl]
+            packed[:, :n_real] = six[:, s:s + n_real]
             if windowed:
                 r = extend.extend_pairs_windowed(
                     sdev, sdev, jnp.asarray(packed), drop,

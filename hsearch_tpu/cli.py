@@ -196,13 +196,24 @@ def _kmer_matrix(db, kmer_len: int) -> np.ndarray:
 
 def cmd_hclust2(args):
     import jax
+    distributed = getattr(args, "dist_nproc", None) is not None
+    if distributed:
+        # must precede any backend-initializing jax call in this process
+        jax.distributed.initialize(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_nproc, process_id=args.dist_pid)
     from .cluster import greedy
     from .core import alphabet, io as hio
     db = hio.read_fasta(args.database, seed=args.seed)
     km = _kmer_matrix(db, args.kmer_len)
     cfg = greedy.ClusterConfig(hash_k=args.hash_k, hash_l=args.hash_l,
                                w=args.width, radius=args.radius)
-    res = greedy.cluster_greedy(km, jax.random.PRNGKey(args.seed), cfg)
+    if distributed:
+        from .cluster import greedy_dist
+        res = greedy_dist.cluster_greedy_distributed(
+            km, jax.random.PRNGKey(args.seed), cfg)
+    else:
+        res = greedy.cluster_greedy(km, jax.random.PRNGKey(args.seed), cfg)
     # member lines are the k-mer sequences: the post-processing tools read
     # them back as sequences (centerDistanceSmapling.cpp:119,146)
     strs = alphabet.decode_all(km)
@@ -593,6 +604,19 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("-o", "--output", required=True)
         q.add_argument("-l", "--kmer-len", type=int, default=25)
         common_lsh(q)
+        if tool != "hclust":      # greedy engine only (see greedy_dist)
+            q.add_argument("--dist-nproc", type=int, default=None,
+                           help="join an N-process jax.distributed "
+                                "cluster: bucket rows stride across "
+                                "processes, elections merge via one "
+                                "edge allgather per round; every "
+                                "process runs this command with its "
+                                "own --dist-pid (identical cluster "
+                                "output on each)")
+            q.add_argument("--dist-pid", type=int, default=None)
+            q.add_argument("--dist-coordinator", default=None,
+                           help="coordinator host:port "
+                                "(default: auto-detect)")
         q.set_defaults(func=func)
 
     q = sub.add_parser("pcluster")

@@ -1,0 +1,69 @@
+"""Self-check of DISTRIBUTED greedy k-mer clustering on a local cluster.
+
+Run as a module it is one PROCESS of a jax.distributed CPU cluster:
+
+    python -m hsearch_tpu.cluster._mp_greedy_check <pid> <nproc> <port>
+
+Each process runs ``cluster_greedy_distributed`` (replicated state,
+bucket rows strided across processes, one edge allgather per round)
+over the SAME synthetic k-mer corpus, then computes the
+single-process ``cluster_greedy`` reference in-process and asserts
+parent/merged are bit-identical (and therefore identical across
+processes).  Exit code 0 = every assertion held on this process.
+Spawned by tests/test_greedy_dist.py through
+parallel._mp_check.run_local_cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+N_POINTS = int(os.environ.get("GREEDY_CHECK_N", "4096"))
+KMER_LEN = 8
+N_FAMILIES = 48
+HASH_L = int(os.environ.get("GREEDY_CHECK_L", "6"))
+
+
+def _workload() -> np.ndarray:
+    rng = np.random.default_rng(20260820)
+    fam = rng.integers(0, 20, (N_FAMILIES, KMER_LEN), dtype=np.int32)
+    which = rng.integers(0, N_FAMILIES, N_POINTS)
+    km = fam[which].copy()
+    flip = rng.integers(0, KMER_LEN, N_POINTS)
+    km[np.arange(N_POINTS), flip] = rng.integers(0, 20, N_POINTS)
+    return km
+
+
+def child_main(pid: int, nproc: int, port: int) -> None:
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from hsearch_tpu.cluster import greedy, greedy_dist
+
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    km = _workload()
+    key = jax.random.PRNGKey(5)
+    cfg = greedy.ClusterConfig(hash_l=HASH_L)
+
+    dist = greedy_dist.cluster_greedy_distributed(km, key, cfg)
+    ref = greedy.cluster_greedy(km, key, cfg)
+
+    np.testing.assert_array_equal(dist.parent, ref.parent)
+    np.testing.assert_array_equal(dist.merged, ref.merged)
+    d_sizes = sorted(len(c) for c in dist.clusters())
+    r_sizes = sorted(len(c) for c in ref.clusters())
+    assert d_sizes == r_sizes, (d_sizes[:5], r_sizes[:5])
+    # marker format required by _mp_check.run_local_cluster's post-check
+    print(f"MP_CHECK_OK p{pid}/{nproc} greedy clusters={len(d_sizes)}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    child_main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

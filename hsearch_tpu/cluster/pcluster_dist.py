@@ -71,22 +71,10 @@ def partition_queries(weights: np.ndarray, nproc: int) -> np.ndarray:
 
 
 def _allgather_rows(rows: np.ndarray, width: int) -> np.ndarray:
-    """Concatenate each process's (n_p, width) int32 rows across the
-    cluster (padded allgather: one tiny max-reduce for the row count,
-    then one fixed-shape collective)."""
-    rows = np.asarray(rows, np.int32).reshape(-1, width)
-    if jax.process_count() == 1:
-        return rows
-    from jax.experimental import multihost_utils
-    n = rows.shape[0]
-    nmax = int(np.max(multihost_utils.process_allgather(
-        np.asarray([n], np.int32))))
-    buf = np.zeros((nmax + 1, width), np.int32)
-    buf[0, 0] = n
-    buf[1:n + 1] = rows
-    gathered = multihost_utils.process_allgather(buf)   # (nproc, nmax+1, w)
-    return np.concatenate([gathered[p, 1:int(gathered[p, 0, 0]) + 1]
-                           for p in range(gathered.shape[0])])
+    """Cross-host row merge — see parallel.multihost.allgather_rows
+    (kept as a module name because the spawned checks call it here)."""
+    from ..parallel import multihost
+    return multihost.allgather_rows(rows, width)
 
 
 def cluster_proteins_distributed(

@@ -87,6 +87,14 @@ def _load():
         np.ctypeslib.ndpointer(np.int8), np.ctypeslib.ndpointer(np.int32),
         i64, np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32)]
+    lib.hs_pair_prep.restype = i64
+    lib.hs_pair_prep.argtypes = [
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        i64, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), i64,
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.uint64), i64, i64,
+        np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32)]
     lib.hs_probe_fill.restype = None
     lib.hs_probe_fill.argtypes = [
         np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
@@ -338,6 +346,37 @@ def argsort_u64(keys: np.ndarray) -> np.ndarray:
     order = np.empty(len(keys), np.int64)
     lib.hs_argsort_u64(keys, len(keys), order)
     return order
+
+
+def pair_prep(rows: np.ndarray, dpos: np.ndarray, qidx: np.ndarray,
+              starts: np.ndarray, gids: np.ndarray,
+              exclude: np.ndarray | None, tol: int):
+    """Fused seed-pair preparation (align/pipeline.py probe->extend glue).
+
+    One parallel pass: qpos gather, protein-id lookups, the full-seed
+    subject filter, the sorted-exclude-key filter, the same-diagonal
+    run collapse (tol > 0), and the packed extension layout.  Returns
+    (six (6, n) int32 [qpos, dpos, qlo, qhi, dlo, dhi], pids (2, n)
+    int32 [qpid, dpid]) with survivors in ascending pair order —
+    bit-identical to the numpy chain — or None when the native library
+    is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    dpos = np.ascontiguousarray(dpos, np.int64)
+    qidx = np.ascontiguousarray(qidx, np.int64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    gids = np.ascontiguousarray(gids, np.int64)
+    excl = np.zeros(0, np.uint64) if exclude is None \
+        else np.ascontiguousarray(exclude, np.uint64)
+    n = len(rows)
+    six = np.empty((6, n), np.int32)
+    pids = np.empty((2, n), np.int32)
+    kept = lib.hs_pair_prep(rows, dpos, n, qidx, starts, len(starts) - 1,
+                            gids, excl, len(excl), tol, six, pids)
+    return six[:, :kept], pids[:, :kept]
 
 
 def probe_sorted(keys: np.ndarray, positions: np.ndarray,

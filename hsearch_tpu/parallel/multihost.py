@@ -200,6 +200,26 @@ def put_rows_streamed(row_chunks, n_total: int, mesh: Mesh,
         (ndb * n_local, kmer_len), sharding, arrays)
 
 
+def allgather_rows(rows: np.ndarray, width: int) -> np.ndarray:
+    """Concatenate each process's (n_p, width) int32 rows across the
+    cluster (padded allgather: one tiny max-reduce for the row count,
+    then one fixed-shape collective).  The cross-host merge primitive of
+    the distributed clustering drivers (pcluster_dist, greedy_dist)."""
+    rows = np.asarray(rows, np.int32).reshape(-1, width)
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils
+    n = rows.shape[0]
+    nmax = int(np.max(multihost_utils.process_allgather(
+        np.asarray([n], np.int32))))
+    buf = np.zeros((nmax + 1, width), np.int32)
+    buf[0, 0] = n
+    buf[1:n + 1] = rows
+    gathered = multihost_utils.process_allgather(buf)   # (nproc, nmax+1, w)
+    return np.concatenate([gathered[p, 1:int(gathered[p, 0, 0]) + 1]
+                           for p in range(gathered.shape[0])])
+
+
 def _allmax(x: int) -> int:
     """max of a host-local int across processes (one tiny allgather)."""
     if jax.process_count() == 1:

@@ -351,7 +351,8 @@ void hs_seed_codes(const int32_t* seq, int64_t s, const int64_t* starts,
 // per-table (group << 32 | code) index sort that dominates seed-index
 // builds at 1e6 proteins.  Parallel histogram + chunk-major stable scatter.
 // ---------------------------------------------------------------------------
-void hs_argsort_u64(const uint64_t* keys, int64_t n, int64_t* order) {
+static void radix_argsort_u64(const uint64_t* keys, int64_t n,
+                              int64_t* order) {
   if (n == 0) return;
   std::vector<uint64_t> kbuf(keys, keys + n), kalt(n);
   std::vector<int64_t> ibuf(n), ialt(n);
@@ -424,6 +425,10 @@ void hs_argsort_u64(const uint64_t* keys, int64_t n, int64_t* order) {
   if (isrc != order) std::memcpy(order, isrc, (size_t)n * sizeof(int64_t));
 }
 
+void hs_argsort_u64(const uint64_t* keys, int64_t n, int64_t* order) {
+  radix_argsort_u64(keys, n, order);
+}
+
 // ---------------------------------------------------------------------------
 // Parallel searchsorted (side=right) over a sorted int64 array — the
 // protein-id-of-position lookups (searchsorted(starts, pos) - 1) run over
@@ -473,6 +478,128 @@ int64_t hs_probe_count(const uint64_t* keys, const int64_t* pos, int64_t p,
     keep_out[i] = keep;
   }
   return n_over;
+}
+
+// ---------------------------------------------------------------------------
+// Fused seed-pair preparation (align/pipeline.py search_all, probe -> extend
+// glue).  One parallel pass over the probe's (row, dpos) candidate pairs:
+//   qpos = qidx[row]                      (probing position of the row)
+//   dpid = upper_bound(starts, dpos) - 1  (owning subject protein)
+//   drop when starts[dpid+1] - dpos < 10  (subject lacks the full local
+//                                          seed, hash_search.cpp:538-540)
+//   qpid = upper_bound(starts, qpos) - 1
+//   drop when (gids[qpid] << 32 | gids[dpid]) is in the sorted exclude
+//     list (pairs an earlier table already aligned)
+// then, when tol > 0, the same-diagonal seed-run collapse of
+// _collapse_diag_runs — sort survivors by (qpid, dpid, diag, qpos) via two
+// stable radix passes on the identical composite keys and keep one seed
+// per run whose query positions step by <= tol.  Survivors are emitted in
+// ascending pair order (the numpy chain's keep.sort() semantics) as the
+// extension pipeline's packed layout:
+//   six  (6, np) int32 row-major: qpos, dpos, qlo, qhi, dlo, dhi
+//   pids (2, np) int32: qpid, dpid
+// Returns the survivor count; only [:n_out] of each row is meaningful.
+// Bit-identical to the numpy chain (tests/test_native.py).
+// ---------------------------------------------------------------------------
+int64_t hs_pair_prep(const int64_t* rows, const int64_t* dpos, int64_t np_,
+                     const int64_t* qidx,
+                     const int64_t* starts, int64_t nprot,
+                     const int64_t* gids,
+                     const uint64_t* excl, int64_t nexcl,
+                     int64_t tol,
+                     int32_t* six, int32_t* pids) {
+  if (np_ == 0) return 0;
+  // phase 1: per-pair pid lookup + filters, survivor flags
+  std::vector<int64_t> qpid(np_), dpid(np_);
+  std::vector<uint8_t> keep(np_);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < np_; ++i) {
+    const int64_t qp = qidx[rows[i]];
+    const int64_t dp = dpos[i];
+    const int64_t dj = std::upper_bound(starts, starts + nprot + 1, dp)
+        - starts - 1;
+    const int64_t qj = std::upper_bound(starts, starts + nprot + 1, qp)
+        - starts - 1;
+    qpid[i] = qj;
+    dpid[i] = dj;
+    bool ok = starts[dj + 1] - dp >= 10;
+    if (ok && nexcl) {
+      const uint64_t key = ((uint64_t)gids[qj] << 32) | (uint64_t)gids[dj];
+      ok = !std::binary_search(excl, excl + nexcl, key);
+    }
+    keep[i] = ok;
+  }
+  // compact survivor indices (stable order)
+  std::vector<int64_t> surv;
+  surv.reserve(np_);
+  for (int64_t i = 0; i < np_; ++i)
+    if (keep[i]) surv.push_back(i);
+  int64_t ns = (int64_t)surv.size();
+  if (ns == 0) return 0;
+  if (tol > 0 && ns > 1) {
+    // collapse same-diagonal runs: identical composite keys to
+    // _collapse_diag_runs (k1 multiplier/k2 span need only exceed the
+    // max values — ordering, hence the kept set, is unchanged)
+    const int64_t s = starts[nprot] + 1;
+    std::vector<uint64_t> k1(ns), k2(ns);
+#pragma omp parallel for schedule(static)
+    for (int64_t j = 0; j < ns; ++j) {
+      const int64_t i = surv[j];
+      const int64_t qp = qidx[rows[i]];
+      const int64_t diag = qp - dpos[i];
+      k1[j] = (uint64_t)qpid[i] * (uint64_t)nprot + (uint64_t)dpid[i];
+      k2[j] = (uint64_t)(diag + s) * (uint64_t)s + (uint64_t)qp;
+    }
+    std::vector<int64_t> o1(ns), o2(ns), order(ns);
+    radix_argsort_u64(k2.data(), ns, o1.data());
+    std::vector<uint64_t> k1p(ns);
+#pragma omp parallel for schedule(static)
+    for (int64_t j = 0; j < ns; ++j) k1p[j] = k1[o1[j]];
+    radix_argsort_u64(k1p.data(), ns, o2.data());
+#pragma omp parallel for schedule(static)
+    for (int64_t j = 0; j < ns; ++j) order[j] = o1[o2[j]];
+    std::vector<uint8_t> run_keep(ns);
+    run_keep[0] = 1;
+#pragma omp parallel for schedule(static)
+    for (int64_t j = 1; j < ns; ++j) {
+      const int64_t a = order[j - 1], b = order[j];
+      const int64_t ia = surv[a], ib = surv[b];
+      const int64_t qa = qidx[rows[ia]], qb = qidx[rows[ib]];
+      const bool same = k1[a] == k1[b] &&
+          (qa - dpos[ia]) == (qb - dpos[ib]);
+      run_keep[j] = !(same && (qb - qa) <= tol);
+    }
+    std::vector<int64_t> kept;
+    kept.reserve(ns);
+    for (int64_t j = 0; j < ns; ++j)
+      if (run_keep[j]) kept.push_back(surv[order[j]]);
+    std::sort(kept.begin(), kept.end());    // ascending pair order
+    surv.swap(kept);
+    ns = (int64_t)surv.size();
+  }
+  // phase 2: emit the packed layouts
+  int32_t* o_qpos = six;
+  int32_t* o_dpos = six + np_;
+  int32_t* o_qlo = six + 2 * np_;
+  int32_t* o_qhi = six + 3 * np_;
+  int32_t* o_dlo = six + 4 * np_;
+  int32_t* o_dhi = six + 5 * np_;
+  int32_t* o_qpid = pids;
+  int32_t* o_dpid = pids + np_;
+#pragma omp parallel for schedule(static)
+  for (int64_t j = 0; j < ns; ++j) {
+    const int64_t i = surv[j];
+    const int64_t qj = qpid[i], dj = dpid[i];
+    o_qpos[j] = (int32_t)qidx[rows[i]];
+    o_dpos[j] = (int32_t)dpos[i];
+    o_qlo[j] = (int32_t)starts[qj];
+    o_qhi[j] = (int32_t)starts[qj + 1];
+    o_dlo[j] = (int32_t)starts[dj];
+    o_dhi[j] = (int32_t)starts[dj + 1];
+    o_qpid[j] = (int32_t)qj;
+    o_dpid[j] = (int32_t)dj;
+  }
+  return ns;
 }
 
 void hs_probe_fill(const int64_t* pos, const int64_t* lo, const int32_t* cap,

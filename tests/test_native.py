@@ -183,3 +183,39 @@ def test_probe_sorted_empty_queries():
     rows, dpos, n_over = seed_index.probe_host(
         view, np.zeros(0, np.uint32), np.zeros(0, np.int32), 8)
     assert rows.shape == (0,) and dpos.shape == (0,) and n_over == 0
+
+
+@needs_native
+def test_pair_prep_native_matches_numpy_chain(rng, monkeypatch):
+    """search_all's fused native pair prep vs the numpy filter chain:
+    identical hits with exclude keys and the diag-run collapse active."""
+    from hsearch_tpu.align import pipeline
+    from hsearch_tpu.core import io as hio
+    base = rng.integers(0, 20, 100).astype(np.int32)
+    seqs = []
+    for i in range(12):
+        s = base.copy()
+        pos = rng.choice(100, 5, replace=False)
+        s[pos] = rng.integers(0, 20, 5)
+        seqs.append(s)
+    seqs.append(base[:12].copy())           # short subject: SEED_LEN edge
+    starts = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    db = hio.ProteinDB(names=[f"p{i}" for i in range(len(seqs))],
+                       seq=np.concatenate(seqs), starts=starts)
+    searcher = pipeline.ProteinSearcher(db)
+    excl = np.sort(np.array([(0 << 32) | 1, (2 << 32) | 3], np.uint64))
+
+    def key(h):
+        return (h.query, h.subject, h.score, h.q_beg, h.q_end, h.d_beg,
+                h.d_end, round(h.evalue, 12), h.q_aln, h.d_aln, h.info)
+
+    for ex in (None, excl):
+        got = searcher.search_all(batched=True, exclude_pairs=ex)
+        monkeypatch.setattr(native_ext, "pair_prep",
+                            lambda *a, **k: None)
+        want = searcher.search_all(batched=True, exclude_pairs=ex)
+        monkeypatch.undo()
+        assert [key(h) for h in got] == [key(h) for h in want]
+        assert got, "workload produced no hits"
+        if ex is not None:
+            assert not any(h.query == 0 and h.subject == 1 for h in got)
