@@ -514,28 +514,77 @@ class ProteinSearcher:
         bits = st0.raw_to_bits_vec(score)   # λ/logK shared across stats
         aln_len = qe - qb
         dlo = self.starts[sj]
-        out: list[Hit] = []
-        uq, firstq = np.unique(ql, return_index=True)
-        boundsq = np.append(firstq, len(ql))
-        for t, u in enumerate(uq):
-            a, b_ = int(boundsq[t]), int(boundsq[t + 1])
-            gid = int(self.ids[u])
-            hits = [Hit(query=gid, subject=int(self.ids[s_]),
-                        score=int(sc_), bits=float(bb_), evalue=float(e_),
-                        identity=m_ * 100.0 / max(al_, 1),
-                        aln_len=int(al_), mismatch=int(al_ - m_),
-                        gap_open=0, q_beg=int(q0_) + 1, q_end=int(q1_),
-                        d_beg=int(d0_ - l_) + 1, d_end=int(d1_ - l_))
-                    for s_, sc_, bb_, e_, m_, al_, q0_, q1_, d0_, d1_, l_
-                    in zip(sj[a:b_], score[a:b_], bits[a:b_], ev[a:b_],
-                           match[a:b_], aln_len[a:b_], qb[a:b_], qe[a:b_],
-                           dbg[a:b_], de[a:b_], dlo[a:b_])]
-            st = stats[int(u)]
-            st.set_query(int(qlen[u]))
-            lo_q = int(self.starts[u])
-            qseq = self.seq[lo_q:int(self.starts[u + 1])]
-            out.extend(self._finalize_query_hits(hits, st, qseq,
-                                                 render=False))
+        gid_q = gid_of[ql]
+        gid_s = gid_of[sj]
+
+        def make_hits(rows: np.ndarray) -> list[Hit]:
+            if len(rows) == 0:
+                return []
+            z = [a[rows].tolist() for a in
+                 (gid_q, gid_s, score, bits, ev, match, aln_len,
+                  qb, qe, dbg, de, dlo)]
+            return [Hit(query=g, subject=s_, score=sc, bits=b_,
+                        evalue=e_, identity=m_ * 100.0 / max(al_, 1),
+                        aln_len=al_, mismatch=al_ - m_, gap_open=0,
+                        q_beg=q0 + 1, q_end=q1,
+                        d_beg=d0 - l_ + 1, d_end=d1 - l_)
+                    for g, s_, sc, b_, e_, m_, al_, q0, q1, d0, d1, l_
+                    in zip(*z)]
+
+        # (query, subject) multi-HSP groups need the per-query SumEvalue
+        # walk; every other query (the overwhelming majority after
+        # diag-run collapsing) finalizes vectorized — threshold,
+        # per-query e-value order, cap.  The per-query walk constructed
+        # Hit objects for every deduped pair BEFORE thresholding and
+        # looped Python per query (~1/4 of the assemble stage at 1e5).
+        # Stable sorts keep _finalize_query_hits' tie order: its
+        # list.sort(key=evalue) runs over the (subject, evalue)-sorted
+        # slice, so equal e-values stay in subject order — as here.
+        n_rows = len(ql)
+        new_pair = np.ones(n_rows, bool)
+        if n_rows > 1:
+            new_pair[1:] = (ql[1:] != ql[:-1]) | (sj[1:] != sj[:-1])
+        pair_id = np.cumsum(new_pair) - 1
+        multi_pair = np.bincount(pair_id) > 1
+        is_multi_q = np.zeros(len(self.ids), bool)
+        is_multi_q[ql[multi_pair[pair_id]]] = True
+        cap = max(p.max_m8_per_query, p.max_aln_per_query)
+
+        srows = np.nonzero(~is_multi_q[ql]
+                           & (ev <= p.evalue_threshold))[0]
+        order = srows[np.argsort(ev[srows], kind="stable")]
+        order = order[np.argsort(ql[order], kind="stable")]
+        oql = ql[order]
+        if len(oql):
+            firstq = np.concatenate([[True], oql[1:] != oql[:-1]])
+            startq = np.maximum.accumulate(
+                np.where(firstq, np.arange(len(oql)), 0))
+            order = order[np.arange(len(oql)) - startq < cap]
+        out_simple = make_hits(order)
+
+        mq = np.nonzero(is_multi_q)[0]
+        if len(mq) == 0:
+            out = out_simple
+        else:
+            # stitch: simple hits are already in ascending-query order;
+            # splice each multi-HSP query's finalized walk at its spot
+            oql = ql[order]
+            out = []
+            prev = 0
+            for u in mq:
+                cut = int(np.searchsorted(oql, u))
+                out.extend(out_simple[prev:cut])
+                prev = cut
+                a = int(np.searchsorted(ql, u))
+                b_ = int(np.searchsorted(ql, u, side="right"))
+                hits = make_hits(np.arange(a, b_))
+                st = stats[int(u)]
+                st.set_query(int(qlen[u]))
+                lo_q = int(self.starts[u])
+                qseq = self.seq[lo_q:int(self.starts[u + 1])]
+                out.extend(self._finalize_query_hits(hits, st, qseq,
+                                                     render=False))
+            out.extend(out_simple[prev:])
         self._render_strings_all(out)     # one pass over every survivor
         return out
 
