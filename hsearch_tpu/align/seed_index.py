@@ -363,13 +363,19 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
         gs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     c_sorted = c[order]
     pos_sorted = pos[order].astype(np.int32)
+    # host-resident index: the pipeline probes through the HostSeedView
+    # and extends against its own padded device sequence, so nothing
+    # here is read on device in the batched path — eager jnp.asarray
+    # uploads cost ~50 s/table at 1e5 through a remote-TPU link for
+    # arrays only the device probe() oracle reads.  jit converts the
+    # numpy leaves on first use, so probe() still works unchanged.
     index = SeedIndex(
-        sorted_codes=jnp.asarray(c_sorted),
-        positions=jnp.asarray(pos_sorted),
-        seq=jnp.asarray(seq, jnp.int32),
-        starts=jnp.asarray(starts, jnp.int32),
-        group_starts=None if gs is None else jnp.asarray(gs),
-        g10_at=jnp.asarray(g10))
+        sorted_codes=c_sorted,
+        positions=pos_sorted,
+        seq=np.asarray(seq, np.int32),
+        starts=np.asarray(starts, np.int32),
+        group_starts=gs,
+        g10_at=g10)
     view = HostSeedView(
         keys=c_sorted if view_keys is None else view_keys,
         positions=pos_sorted.astype(np.int64),

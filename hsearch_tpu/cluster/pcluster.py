@@ -77,8 +77,15 @@ def protein_histograms(db, lo: int = 0, hi: int | None = None) -> np.ndarray:
     boundaries are masked, and the (protein, feature) pairs fall into
     one bincount — no per-protein Python loop (VERDICT r1 weak #3).
     The [lo, hi) range lets callers stream histograms in protein chunks:
-    the full (P, 512) f32 matrix is ~20 GB at the IGC corpus's 9.9M
-    proteins (protein.hpp:2-4)."""
+    the full (P, 512) matrix is ~5 GB at the IGC corpus's 9.9M proteins
+    (protein.hpp:2-4).
+
+    Returned as uint16 (int32 in the pathological >65535-counts case;
+    IGC's longest peptide is 29,409 AA, protein.hpp:2-4): counts are
+    exact integers, so the on-device f32 cast in ``klsh_codes``
+    reproduces the f32 upload bit-for-bit while moving 2x less over a
+    remote-TPU link — the histogram upload WAS the klsh stage there
+    (~200 MB -> ~20 s at 1e5 through the tunnel)."""
     p_all = db.num_proteins
     hi = p_all if hi is None else hi
     p = hi - lo
@@ -86,17 +93,18 @@ def protein_histograms(db, lo: int = 0, hi: int | None = None) -> np.ndarray:
     starts = starts_all[lo:hi + 1] - starts_all[lo]
     seq = np.minimum(
         np.asarray(db.seq)[starts_all[lo]:starts_all[hi]], 19)
-    out = np.zeros((p, FEATURE_SIZE), np.float32)
     if len(seq) < alphabet.HASHLEN:
-        return out
+        return np.zeros((p, FEATURE_SIZE), np.uint16)
     ids = alphabet.reduced_kmer_ids(seq)          # (S - HASHLEN + 1,)
     pos = np.arange(len(ids))
     pid = np.repeat(np.arange(p), np.diff(starts))[:len(ids)]
     ok = pos + alphabet.HASHLEN <= starts[pid + 1]
     key = pid[ok] * FEATURE_SIZE + ids[ok]
     out = np.bincount(key, minlength=p * FEATURE_SIZE) \
-        .reshape(p, FEATURE_SIZE).astype(np.float32)
-    return out
+        .reshape(p, FEATURE_SIZE)
+    return out.astype(np.uint16 if not len(key)
+                      or out.max() <= np.iinfo(np.uint16).max
+                      else np.int32)
 
 
 # protein chunk per klsh_codes_all GEMM: bounds host feature memory to
