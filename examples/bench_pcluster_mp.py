@@ -71,7 +71,12 @@ def child_main(pid, nproc, port, n, tables):
     import jax
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, REPO)
+    from hsearch_tpu import native_ext
     from hsearch_tpu.cluster import pcluster, pcluster_dist
+    # pin the native OpenMP pool to an even core split: unpinned pools
+    # from N processes fight and the numbers swing 3-5x run-to-run
+    native_ext.set_threads(int(os.environ.get(
+        "HSEARCH_THREADS", native_ext.default_process_threads(nproc))))
     bits = int(os.environ.get("HSEARCH_KLSH_BITS",
                               pcluster.DEFAULT_BITS))
     sigma = float(os.environ.get("HSEARCH_KLSH_SIGMA",

@@ -77,19 +77,19 @@ def load_index(path: str):
                                 db_kmers=jnp.asarray(z["db_kmers"]),
                                 cand_max=int(meta["cand_max"]))
     if kind == "ivf":
-        index = ivf.IVFIndex(
+        n_points = int(meta["n_points"])
+        kmer_len = int(z["db_sorted"].shape[2])
+        # rebuild the host-side k-mer copy from the (already host) npz
+        # arrays — enables the 1-word packed hit transfer (see
+        # ivf.build_index); costs one O(N) memcpy, no device traffic
+        host_km = ivf.HostArray(ivf.unsort_blocks(
+            z["order"], z["db_sorted"], n_points, kmer_len, np.int8))
+        return ivf.IVFIndex(
             db_sorted=jnp.asarray(z["db_sorted"]),
             order=jnp.asarray(z["order"]),
             block_centroid=jnp.asarray(z["block_centroid"]),
             block_radius=jnp.asarray(z["block_radius"]),
-            n_points=int(meta["n_points"]))
-        # rebuild the host-side k-mer copy from the (already host) npz
-        # arrays — enables the 1-word packed hit transfer (see
-        # ivf.build_index); costs one O(N) memcpy, no device traffic
-        index.host_kmers = ivf.unsort_blocks(
-            z["order"], z["db_sorted"], index.n_points, index.kmer_len,
-            np.int8)
-        return index
+            n_points=n_points, host_kmers=host_km)
     if kind == "seed":
         seq = np.asarray(z["seq"])
         starts = np.asarray(z["starts"])

@@ -31,6 +31,30 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
+// Thread-budget pin: cap this process's OpenMP pool.  N cooperating
+// processes on one box (jax.distributed pcluster/hclust2) each default
+// to the FULL core count, and the pools fight — measured as a 3-5x
+// run-to-run swing in the 2-process aligner numbers.  The Python layer
+// calls this once per process with ncores/nproc (HSEARCH_THREADS /
+// --threads override).  Returns the effective thread count.
+// ---------------------------------------------------------------------------
+int64_t hs_set_threads(int64_t n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads((int)n);
+  int out = 1;
+#pragma omp parallel
+  {
+#pragma omp single
+    out = omp_get_num_threads();
+  }
+  return out;
+#else
+  (void)n;
+  return 1;
+#endif
+}
+
+// ---------------------------------------------------------------------------
 // FASTA parsing: one pass over the raw bytes; emits AA indices (0..19,
 // 20 = unknown) into `seq_out`, per-record start offsets into `starts_out`
 // (n_records+1 entries), and name spans into `name_off/name_len`.

