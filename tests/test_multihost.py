@@ -102,3 +102,11 @@ def test_streamed_ingest_equals_staged(rng):
     gc, gk, _ = exact.search_radius(db, centers, 22.0)
     assert set(zip(ic.tolist(), ik.tolist())) == \
         set(zip(gc.tolist(), gk.tolist()))
+
+
+def test_three_process_cluster_uneven_shards(monkeypatch):
+    """nproc=3 x 2 devices = 6 db shards over an N that does not divide
+    them: shard_range's uneven tails at an odd process count (VERDICT
+    r3 weak #4)."""
+    monkeypatch.setenv("MP_CHECK_N", "1531")
+    _mp_check.run_local_cluster(nproc=3, ndev_per_proc=2)

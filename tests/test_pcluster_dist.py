@@ -89,3 +89,19 @@ def test_two_process_giant_group_query_mode(monkeypatch):
     _mp_check.run_local_cluster(
         nproc=2, ndev_per_proc=2,
         module="hsearch_tpu.cluster._mp_pcluster_check")
+
+
+def test_three_process_odd_nproc_both_modes(monkeypatch):
+    """nproc=3 (VERDICT r3 weak #4): the serpentine query partition,
+    the group-mode threshold, and the padded allgather all see an odd
+    process count.  Both partition modes, smaller corpus to bound
+    runtime; results must be bit-identical to single-process."""
+    monkeypatch.setenv("PCLUSTER_CHECK_N", "144")
+    monkeypatch.setenv("PCLUSTER_CHECK_TABLES", "2")
+    _mp_check.run_local_cluster(
+        nproc=3, ndev_per_proc=1,
+        module="hsearch_tpu.cluster._mp_pcluster_check")
+    monkeypatch.setenv("PCLUSTER_CHECK_SIGMA", "0.1")
+    _mp_check.run_local_cluster(
+        nproc=3, ndev_per_proc=1,
+        module="hsearch_tpu.cluster._mp_pcluster_check")
