@@ -84,12 +84,29 @@ class HostArray:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class IVFIndex:
-    """Block-sorted database with per-block bounding balls."""
+    """Block-sorted database with per-block bounding balls.
 
-    db_sorted: jax.Array        # (B, bs, L) int32, cell-sorted + padded
-    order: jax.Array            # (B, bs) int32 original ids, sentinel N
-    block_centroid: jax.Array   # (B, D) f32 embedded block centroids
-    block_radius: jax.Array     # (B,) f32 covering radius per block
+    Two-level: blocks are additionally grouped into SUPERBLOCKS of
+    ``sb_group`` consecutive blocks (blocks re-sorted so superblock i
+    owns blocks [i*G, (i+1)*G)), each with its own covering ball over
+    its member blocks' balls.  The query-side prune then tests
+    superblocks first (an O(B/G) domain) and only computes block
+    distances inside surviving superblocks — the fix for the measured
+    O(B) per-query block-select that took 13.3k q/s at 2^20 to 3.6k at
+    2^24 (VERDICT r3 next #1).  sb_* = None on a single-level index
+    (tiny DBs, old checkpoints): search falls back to the flat prune.
+    """
+
+    # (B', bs*L) int8, sb-sorted + padded.  Stored FLAT (not (B', bs, L))
+    # on purpose: TPU tiling pads the last dim to 128 lanes, so a rank-3
+    # L=25 layout occupies 5.1x its nominal HBM (2.2 GB at 2^24) where
+    # the flat bs*L=800 layout pads to 896 (1.12x) — the difference
+    # between ~7M and ~32M resident points per chip.  Kernels reshape
+    # only the small gathered candidate slices.
+    db_sorted: jax.Array
+    order: jax.Array            # (B', bs) int32 original ids, sentinel N
+    block_centroid: jax.Array   # (B', D) f32 embedded block centroids
+    block_radius: jax.Array     # (B',) f32 covering radius per block
     n_points: int = dataclasses.field(metadata=dict(static=True))
     # host-side (N, L) int8 k-mer copy: lets search() ship hits as ONE
     # int32 word each and recompute d2 on host (a 25-entry table sum)
@@ -99,6 +116,13 @@ class IVFIndex:
     # the caller explicitly demanded transfer_d2=False).
     host_kmers: HostArray | None = dataclasses.field(
         default=None, metadata=dict(static=True))
+    sb_centroid: jax.Array | None = None   # (S, D) superblock centroids
+    sb_radius: jax.Array | None = None     # (S,) covering radii
+    # blocks per superblock (B' = S * sb_group); 0 = single-level
+    sb_group: int = dataclasses.field(default=0,
+                                      metadata=dict(static=True))
+    kmer_len: int = dataclasses.field(default=0,
+                                      metadata=dict(static=True))
 
     @property
     def host_kmers_np(self) -> np.ndarray | None:
@@ -106,16 +130,16 @@ class IVFIndex:
         return None if hk is None else hk.array
 
     @property
+    def num_superblocks(self) -> int:
+        return 0 if self.sb_centroid is None else self.sb_centroid.shape[0]
+
+    @property
     def num_blocks(self) -> int:
         return self.db_sorted.shape[0]
 
     @property
     def block_size(self) -> int:
-        return self.db_sorted.shape[1]
-
-    @property
-    def kmer_len(self) -> int:
-        return self.db_sorted.shape[2]
+        return self.db_sorted.shape[1] // self.kmer_len
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells", "iters", "block"))
@@ -260,9 +284,39 @@ def _assign_rows(km: jax.Array, centroids: jax.Array, n_cells: int,
     return a.reshape(-1)[:n]
 
 
+def _cell_aligned_groups(cells: np.ndarray, n_cells: int,
+                         group: int, sentinel: int) -> np.ndarray:
+    """Cut cell-aligned fixed-size groups (host, vectorized).
+
+    Sort item ids by cell, pad each cell's run to a ``group`` multiple
+    with ``sentinel``: returns (n_groups, group) item ids where no group
+    spans two cells.  Shared by both index levels (points->blocks and
+    blocks->superblocks)."""
+    n = len(cells)
+    order = np.argsort(cells, kind="stable").astype(np.int32)
+    sorted_cells = cells[order]
+    counts = np.bincount(sorted_cells, minlength=n_cells)
+    padded = -(-counts // group) * group          # per-cell capacity
+    pad_base = np.concatenate([[0], np.cumsum(padded)])
+    cell_base = np.concatenate([[0], np.cumsum(counts)])
+    rank = np.arange(n) - cell_base[sorted_cells]
+    flat = np.full(int(pad_base[-1]), sentinel, np.int32)
+    flat[pad_base[sorted_cells] + rank] = order
+    return flat.reshape(-1, group)
+
+
+def default_super_group(num_blocks: int) -> int:
+    """Blocks per superblock: 0 (single-level) below ~2k blocks where
+    the flat prune is already cheap, else 32 — the measured sweet spot
+    between the O(B/G) superblock GEMM and the (ks*G)-block candidate
+    gather."""
+    return 0 if num_blocks < 2048 else 32
+
+
 def build_index(db_kmers: np.ndarray, key: jax.Array,
                 block_size: int = 32, n_cells: int | None = None,
-                kmeans_iters: int = 0) -> IVFIndex:
+                kmeans_iters: int = 0,
+                super_group: int | None = None) -> IVFIndex:
     """Sample-assign cells, sort, cut cell-aligned blocks, bound each.
 
     Cell centers are sampled uniformly from the data (n_cells defaults to
@@ -310,19 +364,10 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
             return _kmeans_cells(pts, key, n_cells, kmeans_iters)
 
         cells = np.asarray(_stage1(km, key))
-    order = np.argsort(cells, kind="stable").astype(np.int32)
-    sorted_cells = cells[order]
     # cut cell-aligned blocks: pad each cell's run to a block_size multiple
     # (vectorized — a per-cell Python loop costs minutes at millions of
     # points: each point lands at its cell's padded base + within-cell rank)
-    counts = np.bincount(sorted_cells, minlength=n_cells)
-    padded = -(-counts // block_size) * block_size        # per-cell capacity
-    pad_base = np.concatenate([[0], np.cumsum(padded)])
-    cell_base = np.concatenate([[0], np.cumsum(counts)])
-    rank = np.arange(n) - cell_base[sorted_cells]
-    flat = np.full(int(pad_base[-1]), n, np.int32)
-    flat[pad_base[sorted_cells] + rank] = order
-    order_blocks = flat.reshape(-1, block_size)
+    order_blocks = _cell_aligned_groups(cells, n_cells, block_size, n)
     b = order_blocks.shape[0]
 
     # stage 2 (one jit): pad + gather the block-sorted database and bound
@@ -355,7 +400,8 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
             return None, (db_c, cent, jnp.sqrt(jnp.max(d2, axis=1)))
 
         _, (db_s, cent, rad) = jax.lax.scan(body, None, obp)
-        return (db_s.reshape(-1, block_size, l)[:b],
+        # flat (B, bs*L) rows: see the IVFIndex.db_sorted layout note
+        return (db_s.reshape(-1, block_size * l)[:b],
                 cent.reshape(-1, cent.shape[-1])[:b], rad.reshape(-1)[:b])
 
     ob_dev = jnp.asarray(np.concatenate(
@@ -363,53 +409,177 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
         if bpad else order_blocks)
     db_sorted, cent, rad = _stage2(km8, ob_dev)
     ob_dev = ob_dev[:b]
+    host_km = HostArray(np.asarray(db_kmers, np.int8))
+    if super_group is None:
+        super_group = default_super_group(b)
+    if not super_group or b <= super_group:
+        return IVFIndex(db_sorted=db_sorted, order=ob_dev,
+                        block_centroid=cent, block_radius=rad, n_points=n,
+                        host_kmers=host_km, kmer_len=l)
+
+    # stage 3: superblocks over block centroids — the identical
+    # machinery one level up.  Sample-assign supercells on the (B, D)
+    # block centroids (device; only the (B,) assignment crosses back,
+    # ~3 MB at 2^24 vs 660 MB if the centroids themselves were pulled),
+    # cut supercell-aligned groups of ``super_group`` blocks on host,
+    # then ONE device program permutes/pads every block array into the
+    # superblock order and bounds each superblock's covering ball.
+    n_sc = max(1, b // super_group)
+    sc = np.asarray(_kmeans_cells(cent, jax.random.fold_in(key, 1),
+                                  n_sc, iters=0))
+    osb = _cell_aligned_groups(sc, n_sc, super_group, b).reshape(-1)
+    db_sorted, ob_dev, cent, rad, sbc, sbr = _stage3_superblocks(
+        db_sorted, ob_dev, cent, rad, jnp.asarray(osb), n, b,
+        super_group)
     return IVFIndex(db_sorted=db_sorted, order=ob_dev,
                     block_centroid=cent, block_radius=rad, n_points=n,
-                    host_kmers=HostArray(np.asarray(db_kmers, np.int8)))
+                    host_kmers=host_km, sb_centroid=sbc, sb_radius=sbr,
+                    sb_group=super_group, kmer_len=l)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "b", "group"))
+def _stage3_superblocks(db_sorted, order, cent, rad, osb, n: int, b: int,
+                        group: int):
+    """Permute blocks into superblock order (padding with one sentinel
+    block: order rows = n, radius = -inf so it can never test alive)
+    and bound each superblock: radius covers every member block's ball
+    (max over blocks of d(sb_cent, blk_cent) + blk_radius), so
+    d(q, p) <= R for any indexed p implies the point's block AND its
+    superblock both survive the triangle test — the two-level prune
+    stays exact."""
+    bs = order.shape[1]
+    d = cent.shape[1]
+    db_p = jnp.concatenate([db_sorted,
+                            jnp.zeros((1, db_sorted.shape[1]),
+                                      db_sorted.dtype)])
+    or_p = jnp.concatenate([order, jnp.full((1, bs), n, order.dtype)])
+    cent_p = jnp.concatenate([cent, jnp.zeros((1, d), cent.dtype)])
+    rad_p = jnp.concatenate([rad, jnp.full((1,), -jnp.inf, rad.dtype)])
+    db2 = jnp.take(db_p, osb, axis=0)
+    or2 = jnp.take(or_p, osb, axis=0)
+    c2 = jnp.take(cent_p, osb, axis=0)
+    r2 = jnp.take(rad_p, osb, axis=0)
+    g = c2.reshape(-1, group, d)
+    rr = r2.reshape(-1, group)
+    valid = (osb < b).reshape(-1, group)
+    cnt = jnp.maximum(valid.sum(axis=1), 1)
+    sbc = jnp.sum(g * valid[..., None], axis=1) / cnt[:, None]
+    dd = jnp.sqrt(jnp.sum((g - sbc[:, None, :]) ** 2, axis=-1))
+    sbr = jnp.max(jnp.where(valid, dd + rr, -jnp.inf), axis=1)
+    return db2, or2, c2, r2, sbc, sbr
+
+
+def _superblock_prune(index: IVFIndex, centers_emb: jax.Array,
+                      r: jax.Array, k_super: int):
+    """Two-level prune: superblock triangle test, then block distances
+    computed ONLY inside the selected superblocks.
+
+    Returns (key (C, ks*G) block-distance keys — inf = dead,
+    gids (C, ks*G) global block ids, n_alive_blk (C,), n_alive_sb (C,)).
+    The per-query select domain falls from O(B) to O(B/G) + ks*G — the
+    measured O(B) block-select that dominated past 2^23 (VERDICT r3).
+    """
+    c = centers_emb.shape[0]
+    g = index.sb_group
+    s = index.num_superblocks
+    d_sb = jnp.sqrt(distance.sq_distance_matrix(
+        centers_emb, index.sb_centroid))                     # (C, S)
+    sb_alive = d_sb <= r + index.sb_radius[None, :]
+    n_alive_sb = jnp.sum(sb_alive, axis=1).astype(jnp.int32)
+    # rank alive superblocks by CENTROID distance — the same key the
+    # flat path uses for blocks.  Measured (16k family corpus, R=30):
+    # every hit-bearing superblock ranks <= 9 of 621 by d_sb, while the
+    # seemingly-principled lower bound (d_sb - sb_radius) scatters them
+    # to rank 309 — loose superballs all get lb ~ 0 and crowd out the
+    # tight near cells that actually hold the hits.  When every alive
+    # superblock fits ks the order is irrelevant (coverage is exact
+    # either way).
+    sb_key = jnp.where(sb_alive, d_sb, jnp.inf)
+    ks = min(k_super, s)
+    neg_sb, sb_ids = jax.lax.top_k(-sb_key, ks)              # (C, ks)
+    sb_ok = jnp.isfinite(neg_sb)
+    safe_sb = jnp.where(sb_ok, sb_ids, 0)
+    cent_g = index.block_centroid.reshape(s, g, -1)          # (S, G, D)
+    rad_g = index.block_radius.reshape(s, g)
+    # chunk the (cc, ks, G, D) centroid gather over centers to bound
+    # the working set (C=256, ks=64, G=32, D=200 f32 would be 420 MB)
+    cc = c
+    while cc > 64 and cc % 2 == 0:
+        cc //= 2           # halve only while it stays a divisor of C
+    def body(_, xs):
+        q, ssb, sok = xs                                     # (cc, ...)
+        cents = jnp.take(cent_g, ssb, axis=0)                # (cc,ks,G,D)
+        rads = jnp.take(rad_g, ssb, axis=0)                  # (cc,ks,G)
+        d2b = jnp.sum((cents - q[:, None, None, :]) ** 2, axis=-1)
+        db = jnp.sqrt(jnp.maximum(d2b, 0.0))
+        alive = (db <= r + rads) & sok[:, :, None]
+        return None, (jnp.where(alive, db, jnp.inf),
+                      jnp.sum(alive, axis=(1, 2)).astype(jnp.int32))
+    _, (keys, n_alive) = jax.lax.scan(
+        body, None, (centers_emb.reshape(-1, cc, centers_emb.shape[1]),
+                     safe_sb.reshape(-1, cc, ks),
+                     sb_ok.reshape(-1, cc, ks)))
+    key = keys.reshape(c, ks * g)
+    gids = (safe_sb[:, :, None] * g
+            + jnp.arange(g, dtype=safe_sb.dtype)).reshape(c, ks * g)
+    return key, gids, n_alive.reshape(c), n_alive_sb
 
 
 @functools.partial(jax.jit, static_argnames=("k_blocks", "max_hits",
                                               "use_pallas",
                                               "approx_select", "cap_frac",
-                                              "with_d2"))
+                                              "with_d2", "k_super"))
 def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
                   r: jax.Array, k_blocks: int, max_hits: int,
                   use_pallas: bool = False, approx_select: bool = False,
-                  cap_frac: int = 4, with_d2: bool = True):
+                  cap_frac: int = 4, with_d2: bool = True,
+                  k_super: int = 0):
     """One center block: prune blocks, gather survivors, exact verify.
 
     Returns (packed flat int32 buffer — ops/compact layout with
-    meta = [n_hits (C), n_alive (C)]; ids (C, max_hits)
+    meta = [n_hits (C), n_alive (C), n_alive_sb (C)]; ids (C, max_hits)
     sentinel-N and d2 (C, max_hits) as the lossless overflow fallback).
     """
     n = index.n_points
     bs = index.block_size
     l = index.kmer_len
-    if use_pallas:
-        # fused distance + triangle-test kernel (ops/pallas_kernels.py)
-        from ..ops import pallas_kernels
-        key = pallas_kernels.sq_distance_prune(
-            centers_emb, index.block_centroid, index.block_radius, r)
+    two_level = index.sb_centroid is not None and k_super > 0
+    if two_level:
+        key, gblk, n_alive, n_alive_sb = _superblock_prune(
+            index, centers_emb, r, k_super)
+        kb = min(k_blocks, key.shape[1])
+        neg, sel = jax.lax.top_k(-key, kb)                  # (C, kb)
+        blk_alive = jnp.isfinite(neg)
+        safe_ids = jnp.where(blk_alive,
+                             jnp.take_along_axis(gblk, sel, axis=1), 0)
     else:
-        dblk = jnp.sqrt(distance.sq_distance_matrix(
-            centers_emb, index.block_centroid))             # (C, B)
-        alive = dblk <= r + index.block_radius[None, :]
-        key = jnp.where(alive, dblk, jnp.inf)
-    n_alive = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
-    # nearest k_blocks surviving blocks per center.  Opt-in approximate
-    # selection (HSEARCH_APPROX_SELECT=1) trades the documented
-    # exactness-when-k_blocks-fits guarantee for TPU top-k speed: a
-    # surviving block can be missed ~5%% of the time (never a false
-    # positive — the hit compaction below stays exact)
-    kb = min(k_blocks, key.shape[1])
-    if (approx_select and kb * 8 <= key.shape[1]
-            and jax.default_backend() == "tpu"):
-        neg, blk_ids = jax.lax.approx_max_k(-key, kb, recall_target=0.95)
-    else:
-        neg, blk_ids = jax.lax.top_k(-key, kb)              # (C, kb)
-    blk_alive = jnp.isfinite(neg)
-    safe_ids = jnp.where(blk_alive, blk_ids, 0)
-    cand = jnp.take(index.db_sorted, safe_ids, axis=0)      # (C, kb, bs, L)
+        if use_pallas:
+            # fused distance + triangle-test kernel (ops/pallas_kernels.py)
+            from ..ops import pallas_kernels
+            key = pallas_kernels.sq_distance_prune(
+                centers_emb, index.block_centroid, index.block_radius, r)
+        else:
+            dblk = jnp.sqrt(distance.sq_distance_matrix(
+                centers_emb, index.block_centroid))             # (C, B)
+            alive = dblk <= r + index.block_radius[None, :]
+            key = jnp.where(alive, dblk, jnp.inf)
+        n_alive = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+        n_alive_sb = jnp.zeros_like(n_alive)
+        # nearest k_blocks surviving blocks per center.  Opt-in approximate
+        # selection (HSEARCH_APPROX_SELECT=1) trades the documented
+        # exactness-when-k_blocks-fits guarantee for TPU top-k speed: a
+        # surviving block can be missed ~5%% of the time (never a false
+        # positive — the hit compaction below stays exact)
+        kb = min(k_blocks, key.shape[1])
+        if (approx_select and kb * 8 <= key.shape[1]
+                and jax.default_backend() == "tpu"):
+            neg, blk_ids = jax.lax.approx_max_k(-key, kb,
+                                                recall_target=0.95)
+        else:
+            neg, blk_ids = jax.lax.top_k(-key, kb)          # (C, kb)
+        blk_alive = jnp.isfinite(neg)
+        safe_ids = jnp.where(blk_alive, blk_ids, 0)
+    cand = jnp.take(index.db_sorted, safe_ids, axis=0)      # (C, kb, bs*L)
     cand = cand.reshape(-1, kb * bs, l)
     gids = jnp.take(index.order, safe_ids, axis=0).reshape(-1, kb * bs)
     gids = jnp.where(jnp.repeat(blk_alive, bs, axis=1), gids, n)
@@ -433,7 +603,7 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     # returned but transfer lazily — the host touches them only when
     # ``total`` overflows the packed capacity.
     packed = compact.pack_hits(out_ids, out_d2, n,
-                               meta_vecs=(n_hits, n_alive),
+                               meta_vecs=(n_hits, n_alive, n_alive_sb),
                                cap_frac=cap_frac, with_d2=with_d2)
     return packed, out_ids, out_d2
 
@@ -493,7 +663,8 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
            center_block: int = 256, retry_overflow: bool = True,
            stats_out: dict | None = None, pack_cap_frac: int = 4,
            approx_select: bool | None = None,
-           transfer_d2: bool | None = None):
+           transfer_d2: bool | None = None,
+           k_super: int | None = None):
     """All (center, kmer) pairs within ``radius`` — exact, block-pruned.
 
     Returns (center_idx, kmer_idx, dist) host arrays, identical contract
@@ -560,6 +731,22 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             f"it) — got is_kmers={is_kmers}, host_kmers="
             f"{'present' if host_km is not None else 'absent'}")
     centers_np = np.asarray(centers) if not transfer_d2 else None
+    two_level = index.sb_centroid is not None
+    if k_super is None:
+        # enough superblocks that the ks*G candidate pool holds ~4x the
+        # requested blocks (floor 32): measured-recall headroom without
+        # an O(B) select.  On a two-level index the ladder retry bumps
+        # this 4x alongside k_blocks, preserving the lossless contract.
+        k_super = 0 if not two_level else min(
+            index.num_superblocks,
+            max(32, -(-4 * k_blocks // index.sb_group)))
+    elif not two_level:
+        k_super = 0
+    two_level = two_level and k_super > 0
+    ks_eff = min(k_super, index.num_superblocks) if two_level else 0
+    kb_used = min(k_blocks,
+                  ks_eff * index.sb_group if two_level
+                  else index.num_blocks)
     use_pallas, env_approx = _env_flags()
     if approx_select is None:
         # approx block-select trades the exactness-when-k_blocks-fits
@@ -590,13 +777,15 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         pending.append((s, pad, blk, cemb, _search_block(
             index, cblk, jnp.asarray(cemb, jnp.float32),
             jnp.float32(radius), k_blocks, max_hits,
-            use_pallas, approx_select, pack_cap_frac, transfer_d2)))
+            use_pallas, approx_select, pack_cap_frac, transfer_d2,
+            k_super)))
     max_alive = 0
+    over_super = 0
     for s, pad, blk, cemb, (packed, ids, d2) in pending:
         real = center_block - pad
         packed_np = np.asarray(packed)
-        hits, (n_hits, n_alive) = compact.unpack_hits(
-            packed_np, (center_block, center_block))
+        hits, (n_hits, n_alive, n_alive_sb) = compact.unpack_hits(
+            packed_np, (center_block, center_block, center_block))
         if hits is None and pack_cap_frac > 1:
             # packed-capacity escalation: the block's hits overflowed
             # the packed buffer; re-dispatch the SAME block with the
@@ -609,8 +798,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             # once per process (then disk-cached), amortized across
             # every later overflow at that rung.
             total = int(packed_np[2])
-            k_sel = min(max_hits,
-                        min(k_blocks, index.num_blocks) * index.block_size)
+            k_sel = min(max_hits, kb_used * index.block_size)
             cap = pack_cap_frac
             while cap > 1 and (center_block * k_sel) // cap < total:
                 cap //= 4
@@ -620,12 +808,16 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
                                    jnp.int32 if is_kmers else jnp.float32),
                 jnp.asarray(cemb, jnp.float32), jnp.float32(radius),
                 k_blocks, max_hits, use_pallas, approx_select, cap,
-                transfer_d2)
-            hits, (n_hits, n_alive) = compact.unpack_hits(
-                np.asarray(packed), (center_block, center_block))
-        bad = ((n_alive[:real] > k_blocks)
+                transfer_d2, k_super)
+            hits, (n_hits, n_alive, n_alive_sb) = compact.unpack_hits(
+                np.asarray(packed),
+                (center_block, center_block, center_block))
+        bad = ((n_alive[:real] > kb_used)
+               | (n_alive_sb[:real] > ks_eff if two_level else False)
                | (n_hits[:real] > max_hits))
-        over_blocks += int((n_alive[:real] > k_blocks).sum())
+        over_blocks += int((n_alive[:real] > kb_used).sum())
+        if two_level:
+            over_super += int((n_alive_sb[:real] > ks_eff).sum())
         over_hits += int((n_hits[:real] > max_hits).sum())
         if real:
             max_alive = max(max_alive, int(n_alive[:real].max()))
@@ -664,18 +856,25 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     out_k = np.concatenate(ki)
     out_d = np.concatenate(dd).astype(np.float32)
     redo_ids = np.concatenate(redo) if redo else np.empty(0, np.int64)
-    can_grow = k_blocks < index.num_blocks or over_hits
+    can_grow = (kb_used < index.num_blocks or over_hits
+                or (two_level and ks_eff < index.num_superblocks))
     if retry_overflow and redo_ids.size and can_grow:
         # lossless overflow retry: re-search ONLY the overflowed centers
-        # with a 4x block cap, shrinking the center block by the same
-        # factor so the (cb, kb*bs, L) candidate gather never exceeds
+        # with 4x caps (BOTH levels on a two-level index: a center that
+        # overflowed its superblock budget needs more superblocks, and
+        # more candidate blocks come with them), shrinking the center
+        # block by the same factor so the (cb, kb*bs, L) candidate
+        # gather — and the (cb, ks*G, D) centroid gather — never exceed
         # the main pass's memory envelope (an unscaled doubling ladder
         # reached kb=16k x cb=256 = a 16 GB gather and OOMed the chip).
-        # kb is bounded by the block count, so the recursion terminates
-        # with every survivor covered exactly.
-        kb_eff = min(k_blocks, index.num_blocks)   # what the pass gathered
-        kb2 = min(4 * kb_eff, index.num_blocks)
-        cb2 = max(1, (center_block * kb_eff) // kb2)
+        # Both caps are bounded by their domain sizes, so the recursion
+        # terminates with every survivor covered exactly.
+        kb2 = min(4 * kb_used, index.num_blocks)
+        ks2 = min(4 * ks_eff, index.num_superblocks) if two_level \
+            else None
+        grow = max(kb2 // max(kb_used, 1),
+                   (ks2 // max(ks_eff, 1)) if two_level else 1, 1)
+        cb2 = max(1, center_block // grow)
         keep = ~np.isin(out_c, redo_ids)
         sub_stats: dict = {}
         rc, rk, rd = search(
@@ -684,7 +883,8 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             max_hits=2 * max_hits if over_hits else max_hits,
             center_block=cb2, retry_overflow=True,
             stats_out=sub_stats, pack_cap_frac=pack_cap_frac,
-            approx_select=approx_select, transfer_d2=transfer_d2)
+            approx_select=approx_select, transfer_d2=transfer_d2,
+            k_super=ks2)
         out_c = np.concatenate([out_c[keep], redo_ids[rc]])
         out_k = np.concatenate([out_k[keep], rk])
         out_d = np.concatenate([out_d[keep], rd]).astype(np.float32)
@@ -694,9 +894,10 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
                 retried=int(redo_ids.size) + sub_stats.get("retried", 0),
                 retry_depth=1 + sub_stats.get("retry_depth", 0),
                 over_blocks=sub_stats.get("over_blocks", 0),
-                over_hits=sub_stats.get("over_hits", 0))
+                over_hits=sub_stats.get("over_hits", 0),
+                over_super=sub_stats.get("over_super", 0))
         return out_c, out_k, out_d
-    elif (over_blocks or over_hits) and stats_out is None:
+    elif (over_blocks or over_hits or over_super) and stats_out is None:
         # stats_out is the explicit diagnostics channel — callers who
         # pass it (the bench's recall-targeted mode) get the counts
         # there instead of a warning per call
@@ -704,7 +905,12 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         if over_blocks:
             warnings.warn(
                 f"{over_blocks} centers had more than k_blocks="
-                f"{k_blocks} surviving blocks; raise k_blocks for "
+                f"{kb_used} surviving blocks; raise k_blocks for "
+                "guaranteed-exact results")
+        if over_super:
+            warnings.warn(
+                f"{over_super} centers had more than k_super={ks_eff} "
+                "surviving superblocks; raise k_super for "
                 "guaranteed-exact results")
         if over_hits:
             warnings.warn(
@@ -716,4 +922,5 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         stats_out.setdefault("retry_depth", 0)
         stats_out["over_blocks"] = over_blocks
         stats_out["over_hits"] = over_hits
+        stats_out["over_super"] = over_super
     return out_c, out_k, out_d

