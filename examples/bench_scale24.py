@@ -160,16 +160,20 @@ def main():
         (gci, gki, gd), oqps = oracle_sample(cen, 64, db=db)
         stats: dict = {}
         out = {}
-        for kb in (256, 512):
+        # exact min-cascade select by default (round 4): approx_max_k is
+        # no longer needed for the big-B select — HSEARCH_APPROX_SELECT=1
+        # re-enables the old operating point for A/B
+        approx = os.environ.get("HSEARCH_APPROX_SELECT", "0") == "1"
+        for kb in (128, 256, 512):
             ivf.search(index, cen[:256], RADIUS, k_blocks=kb,
                        max_hits=512, center_block=256,
                        retry_overflow=False, stats_out=stats,
-                       approx_select=True)           # warm
+                       approx_select=approx)         # warm
             t0 = time.perf_counter()
             ci, ki, dd = ivf.search(index, cen[:256], RADIUS, k_blocks=kb,
                                     max_hits=512, center_block=256,
                                     retry_overflow=False, stats_out={},
-                                    approx_select=True)
+                                    approx_select=approx)
             qps = 256 / (time.perf_counter() - t0)
             m = ci < 64
             rep = evaluate.recall_from_indices(gci, gki, gd,

@@ -84,18 +84,7 @@ class HostArray:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class IVFIndex:
-    """Block-sorted database with per-block bounding balls.
-
-    Two-level: blocks are additionally grouped into SUPERBLOCKS of
-    ``sb_group`` consecutive blocks (blocks re-sorted so superblock i
-    owns blocks [i*G, (i+1)*G)), each with its own covering ball over
-    its member blocks' balls.  The query-side prune then tests
-    superblocks first (an O(B/G) domain) and only computes block
-    distances inside surviving superblocks — the fix for the measured
-    O(B) per-query block-select that took 13.3k q/s at 2^20 to 3.6k at
-    2^24 (VERDICT r3 next #1).  sb_* = None on a single-level index
-    (tiny DBs, old checkpoints): search falls back to the flat prune.
-    """
+    """Block-sorted database with per-block bounding balls."""
 
     # (B', bs*L) int8, sb-sorted + padded.  Stored FLAT (not (B', bs, L))
     # on purpose: TPU tiling pads the last dim to 128 lanes, so a rank-3
@@ -116,11 +105,6 @@ class IVFIndex:
     # the caller explicitly demanded transfer_d2=False).
     host_kmers: HostArray | None = dataclasses.field(
         default=None, metadata=dict(static=True))
-    sb_centroid: jax.Array | None = None   # (S, D) superblock centroids
-    sb_radius: jax.Array | None = None     # (S,) covering radii
-    # blocks per superblock (B' = S * sb_group); 0 = single-level
-    sb_group: int = dataclasses.field(default=0,
-                                      metadata=dict(static=True))
     kmer_len: int = dataclasses.field(default=0,
                                       metadata=dict(static=True))
 
@@ -128,10 +112,6 @@ class IVFIndex:
     def host_kmers_np(self) -> np.ndarray | None:
         hk = self.host_kmers
         return None if hk is None else hk.array
-
-    @property
-    def num_superblocks(self) -> int:
-        return 0 if self.sb_centroid is None else self.sb_centroid.shape[0]
 
     @property
     def num_blocks(self) -> int:
@@ -305,18 +285,9 @@ def _cell_aligned_groups(cells: np.ndarray, n_cells: int,
     return flat.reshape(-1, group)
 
 
-def default_super_group(num_blocks: int) -> int:
-    """Blocks per superblock: 0 (single-level) below ~2k blocks where
-    the flat prune is already cheap, else 32 — the measured sweet spot
-    between the O(B/G) superblock GEMM and the (ks*G)-block candidate
-    gather."""
-    return 0 if num_blocks < 2048 else 32
-
-
 def build_index(db_kmers: np.ndarray, key: jax.Array,
                 block_size: int = 32, n_cells: int | None = None,
-                kmeans_iters: int = 0,
-                super_group: int | None = None) -> IVFIndex:
+                kmeans_iters: int = 0) -> IVFIndex:
     """Sample-assign cells, sort, cut cell-aligned blocks, bound each.
 
     Cell centers are sampled uniformly from the data (n_cells defaults to
@@ -409,176 +380,110 @@ def build_index(db_kmers: np.ndarray, key: jax.Array,
         if bpad else order_blocks)
     db_sorted, cent, rad = _stage2(km8, ob_dev)
     ob_dev = ob_dev[:b]
-    host_km = HostArray(np.asarray(db_kmers, np.int8))
-    if super_group is None:
-        super_group = default_super_group(b)
-    if not super_group or b <= super_group:
-        return IVFIndex(db_sorted=db_sorted, order=ob_dev,
-                        block_centroid=cent, block_radius=rad, n_points=n,
-                        host_kmers=host_km, kmer_len=l)
-
-    # stage 3: superblocks over block centroids — the identical
-    # machinery one level up.  Sample-assign supercells on the (B, D)
-    # block centroids (device; only the (B,) assignment crosses back,
-    # ~3 MB at 2^24 vs 660 MB if the centroids themselves were pulled),
-    # cut supercell-aligned groups of ``super_group`` blocks on host,
-    # then ONE device program permutes/pads every block array into the
-    # superblock order and bounds each superblock's covering ball.
-    n_sc = max(1, b // super_group)
-    sc = np.asarray(_kmeans_cells(cent, jax.random.fold_in(key, 1),
-                                  n_sc, iters=0))
-    osb = _cell_aligned_groups(sc, n_sc, super_group, b).reshape(-1)
-    db_sorted, ob_dev, cent, rad, sbc, sbr = _stage3_superblocks(
-        db_sorted, ob_dev, cent, rad, jnp.asarray(osb), n, b,
-        super_group)
     return IVFIndex(db_sorted=db_sorted, order=ob_dev,
                     block_centroid=cent, block_radius=rad, n_points=n,
-                    host_kmers=host_km, sb_centroid=sbc, sb_radius=sbr,
-                    sb_group=super_group, kmer_len=l)
+                    host_kmers=HostArray(np.asarray(db_kmers, np.int8)),
+                    kmer_len=l)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "b", "group"))
-def _stage3_superblocks(db_sorted, order, cent, rad, osb, n: int, b: int,
-                        group: int):
-    """Permute blocks into superblock order (padding with one sentinel
-    block: order rows = n, radius = -inf so it can never test alive)
-    and bound each superblock: radius covers every member block's ball
-    (max over blocks of d(sb_cent, blk_cent) + blk_radius), so
-    d(q, p) <= R for any indexed p implies the point's block AND its
-    superblock both survive the triangle test — the two-level prune
-    stays exact."""
-    bs = order.shape[1]
-    d = cent.shape[1]
-    db_p = jnp.concatenate([db_sorted,
-                            jnp.zeros((1, db_sorted.shape[1]),
-                                      db_sorted.dtype)])
-    or_p = jnp.concatenate([order, jnp.full((1, bs), n, order.dtype)])
-    cent_p = jnp.concatenate([cent, jnp.zeros((1, d), cent.dtype)])
-    rad_p = jnp.concatenate([rad, jnp.full((1,), -jnp.inf, rad.dtype)])
-    db2 = jnp.take(db_p, osb, axis=0)
-    or2 = jnp.take(or_p, osb, axis=0)
-    c2 = jnp.take(cent_p, osb, axis=0)
-    r2 = jnp.take(rad_p, osb, axis=0)
-    g = c2.reshape(-1, group, d)
-    rr = r2.reshape(-1, group)
-    valid = (osb < b).reshape(-1, group)
-    cnt = jnp.maximum(valid.sum(axis=1), 1)
-    sbc = jnp.sum(g * valid[..., None], axis=1) / cnt[:, None]
-    dd = jnp.sqrt(jnp.sum((g - sbc[:, None, :]) ** 2, axis=-1))
-    sbr = jnp.max(jnp.where(valid, dd + rr, -jnp.inf), axis=1)
-    return db2, or2, c2, r2, sbc, sbr
+def _cascade_top_blocks(key: jax.Array, kb: int, group: int,
+                        approx_select: bool = False):
+    """EXACT nearest-kb block select in O(B/group) select work.
 
+    Stage 1 reduces the (C, B) distance keys to per-group MINIMA over
+    ``group`` consecutive blocks and top-k's the ks = kb smallest
+    groups; stage 2 top-k's the kb smallest blocks inside the selected
+    groups' (kb, group) keys.  Containment proof: if a true top-kb
+    block x sat in an unselected group, every one of the kb selected
+    groups has min <= min(group(x)) <= key(x), i.e. holds a distinct
+    block at least as close — so x ranks past kb, contradiction.  The
+    select domains fall from B to B/group + kb*group while the result
+    is the SAME block set the flat top_k picks (tie order may differ;
+    the radius verify downstream is order-insensitive).
 
-def _superblock_prune(index: IVFIndex, centers_emb: jax.Array,
-                      r: jax.Array, k_super: int):
-    """Two-level prune: superblock triangle test, then block distances
-    computed ONLY inside the selected superblocks.
-
-    Returns (key (C, ks*G) block-distance keys — inf = dead,
-    gids (C, ks*G) global block ids, n_alive_blk (C,), n_alive_sb (C,)).
-    The per-query select domain falls from O(B) to O(B/G) + ks*G — the
-    measured O(B) block-select that dominated past 2^23 (VERDICT r3).
+    This replaced a superblock covering-ball prune (round-4 interim):
+    ranking geometric superblocks by centroid distance lost 5-9%%
+    weighted recall on the 2^20 bench (mixed-family superballs rank
+    badly) — the min-cascade keeps bit-exact flat semantics instead of
+    approximating them.  approx_select applies to the stage-1 group
+    top-k (domain B/group), keeping its documented semantics.
     """
-    c = centers_emb.shape[0]
-    g = index.sb_group
-    s = index.num_superblocks
-    d_sb = jnp.sqrt(distance.sq_distance_matrix(
-        centers_emb, index.sb_centroid))                     # (C, S)
-    sb_alive = d_sb <= r + index.sb_radius[None, :]
-    n_alive_sb = jnp.sum(sb_alive, axis=1).astype(jnp.int32)
-    # rank alive superblocks by CENTROID distance — the same key the
-    # flat path uses for blocks.  Measured (16k family corpus, R=30):
-    # every hit-bearing superblock ranks <= 9 of 621 by d_sb, while the
-    # seemingly-principled lower bound (d_sb - sb_radius) scatters them
-    # to rank 309 — loose superballs all get lb ~ 0 and crowd out the
-    # tight near cells that actually hold the hits.  When every alive
-    # superblock fits ks the order is irrelevant (coverage is exact
-    # either way).
-    sb_key = jnp.where(sb_alive, d_sb, jnp.inf)
-    ks = min(k_super, s)
-    neg_sb, sb_ids = jax.lax.top_k(-sb_key, ks)              # (C, ks)
-    sb_ok = jnp.isfinite(neg_sb)
-    safe_sb = jnp.where(sb_ok, sb_ids, 0)
-    cent_g = index.block_centroid.reshape(s, g, -1)          # (S, G, D)
-    rad_g = index.block_radius.reshape(s, g)
-    # chunk the (cc, ks, G, D) centroid gather over centers to bound
-    # the working set (C=256, ks=64, G=32, D=200 f32 would be 420 MB)
-    cc = c
-    while cc > 64 and cc % 2 == 0:
-        cc //= 2           # halve only while it stays a divisor of C
-    def body(_, xs):
-        q, ssb, sok = xs                                     # (cc, ...)
-        cents = jnp.take(cent_g, ssb, axis=0)                # (cc,ks,G,D)
-        rads = jnp.take(rad_g, ssb, axis=0)                  # (cc,ks,G)
-        d2b = jnp.sum((cents - q[:, None, None, :]) ** 2, axis=-1)
-        db = jnp.sqrt(jnp.maximum(d2b, 0.0))
-        alive = (db <= r + rads) & sok[:, :, None]
-        return None, (jnp.where(alive, db, jnp.inf),
-                      jnp.sum(alive, axis=(1, 2)).astype(jnp.int32))
-    _, (keys, n_alive) = jax.lax.scan(
-        body, None, (centers_emb.reshape(-1, cc, centers_emb.shape[1]),
-                     safe_sb.reshape(-1, cc, ks),
-                     sb_ok.reshape(-1, cc, ks)))
-    key = keys.reshape(c, ks * g)
-    gids = (safe_sb[:, :, None] * g
-            + jnp.arange(g, dtype=safe_sb.dtype)).reshape(c, ks * g)
-    return key, gids, n_alive.reshape(c), n_alive_sb
+    c, b = key.shape
+    pad = (-b) % group
+    kp = jnp.pad(key, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    ng = kp.shape[1] // group
+    gmin = jnp.min(kp.reshape(c, ng, group), axis=2)         # (C, B/G)
+    ks = min(kb, ng)
+    if (approx_select and ks * 8 <= ng
+            and jax.default_backend() == "tpu"):
+        gneg, gsel = jax.lax.approx_max_k(-gmin, ks, recall_target=0.95)
+    else:
+        gneg, gsel = jax.lax.top_k(-gmin, ks)                # (C, ks)
+    gkeys = jnp.take_along_axis(
+        kp.reshape(c, ng, group), gsel[:, :, None], axis=1
+    ).reshape(c, ks * group)                                 # (C, ks*G)
+    kb2 = min(kb, ks * group)
+    neg, sel = jax.lax.top_k(-gkeys, kb2)
+    blk = gsel[:, :, None] * group + jnp.arange(
+        group, dtype=gsel.dtype)                             # (C, ks, G)
+    blk_ids = jnp.take_along_axis(blk.reshape(c, ks * group), sel,
+                                  axis=1)
+    return neg, blk_ids
+
+
+# blocks per stage-1 select group: domain B/64 + kb*64; at 2^24
+# (825k blocks) the group min-reduce rides the same pass as the prune
+# GEMM output and the top-k domains are 12.9k + 8.2k instead of 825k
+_SELECT_GROUP = 64
 
 
 @functools.partial(jax.jit, static_argnames=("k_blocks", "max_hits",
                                               "use_pallas",
                                               "approx_select", "cap_frac",
-                                              "with_d2", "k_super"))
+                                              "with_d2"))
 def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
                   r: jax.Array, k_blocks: int, max_hits: int,
                   use_pallas: bool = False, approx_select: bool = False,
-                  cap_frac: int = 4, with_d2: bool = True,
-                  k_super: int = 0):
+                  cap_frac: int = 4, with_d2: bool = True):
     """One center block: prune blocks, gather survivors, exact verify.
 
     Returns (packed flat int32 buffer — ops/compact layout with
-    meta = [n_hits (C), n_alive (C), n_alive_sb (C)]; ids (C, max_hits)
+    meta = [n_hits (C), n_alive (C)]; ids (C, max_hits)
     sentinel-N and d2 (C, max_hits) as the lossless overflow fallback).
     """
     n = index.n_points
     bs = index.block_size
     l = index.kmer_len
-    two_level = index.sb_centroid is not None and k_super > 0
-    if two_level:
-        key, gblk, n_alive, n_alive_sb = _superblock_prune(
-            index, centers_emb, r, k_super)
-        kb = min(k_blocks, key.shape[1])
-        neg, sel = jax.lax.top_k(-key, kb)                  # (C, kb)
-        blk_alive = jnp.isfinite(neg)
-        safe_ids = jnp.where(blk_alive,
-                             jnp.take_along_axis(gblk, sel, axis=1), 0)
+    if use_pallas:
+        # fused distance + triangle-test kernel (ops/pallas_kernels.py)
+        from ..ops import pallas_kernels
+        key = pallas_kernels.sq_distance_prune(
+            centers_emb, index.block_centroid, index.block_radius, r)
     else:
-        if use_pallas:
-            # fused distance + triangle-test kernel (ops/pallas_kernels.py)
-            from ..ops import pallas_kernels
-            key = pallas_kernels.sq_distance_prune(
-                centers_emb, index.block_centroid, index.block_radius, r)
-        else:
-            dblk = jnp.sqrt(distance.sq_distance_matrix(
-                centers_emb, index.block_centroid))             # (C, B)
-            alive = dblk <= r + index.block_radius[None, :]
-            key = jnp.where(alive, dblk, jnp.inf)
-        n_alive = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
-        n_alive_sb = jnp.zeros_like(n_alive)
-        # nearest k_blocks surviving blocks per center.  Opt-in approximate
-        # selection (HSEARCH_APPROX_SELECT=1) trades the documented
-        # exactness-when-k_blocks-fits guarantee for TPU top-k speed: a
-        # surviving block can be missed ~5%% of the time (never a false
-        # positive — the hit compaction below stays exact)
-        kb = min(k_blocks, key.shape[1])
-        if (approx_select and kb * 8 <= key.shape[1]
-                and jax.default_backend() == "tpu"):
-            neg, blk_ids = jax.lax.approx_max_k(-key, kb,
-                                                recall_target=0.95)
-        else:
-            neg, blk_ids = jax.lax.top_k(-key, kb)          # (C, kb)
-        blk_alive = jnp.isfinite(neg)
-        safe_ids = jnp.where(blk_alive, blk_ids, 0)
+        dblk = jnp.sqrt(distance.sq_distance_matrix(
+            centers_emb, index.block_centroid))             # (C, B)
+        alive = dblk <= r + index.block_radius[None, :]
+        key = jnp.where(alive, dblk, jnp.inf)
+    n_alive = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+    # nearest k_blocks surviving blocks per center.  Past a few
+    # thousand blocks the flat top-k over B dominates the whole query
+    # (measured r3: 13.3k q/s at 2^20 -> 3.6k at 2^24); the min-cascade
+    # picks the SAME block set with O(B/G) select work.  Opt-in
+    # approximate selection (HSEARCH_APPROX_SELECT=1) trades up to ~5%
+    # of surviving groups for approx_max_k speed (never a false
+    # positive — the hit compaction below stays exact).
+    kb = min(k_blocks, key.shape[1])
+    if key.shape[1] >= 4 * _SELECT_GROUP:
+        neg, blk_ids = _cascade_top_blocks(key, kb, _SELECT_GROUP,
+                                           approx_select)
+    elif (approx_select and kb * 8 <= key.shape[1]
+            and jax.default_backend() == "tpu"):
+        neg, blk_ids = jax.lax.approx_max_k(-key, kb,
+                                            recall_target=0.95)
+    else:
+        neg, blk_ids = jax.lax.top_k(-key, kb)              # (C, kb)
+    blk_alive = jnp.isfinite(neg)
+    safe_ids = jnp.where(blk_alive, blk_ids, 0)
     cand = jnp.take(index.db_sorted, safe_ids, axis=0)      # (C, kb, bs*L)
     cand = cand.reshape(-1, kb * bs, l)
     gids = jnp.take(index.order, safe_ids, axis=0).reshape(-1, kb * bs)
@@ -603,7 +508,7 @@ def _search_block(index: IVFIndex, centers: jax.Array, centers_emb: jax.Array,
     # returned but transfer lazily — the host touches them only when
     # ``total`` overflows the packed capacity.
     packed = compact.pack_hits(out_ids, out_d2, n,
-                               meta_vecs=(n_hits, n_alive, n_alive_sb),
+                               meta_vecs=(n_hits, n_alive),
                                cap_frac=cap_frac, with_d2=with_d2)
     return packed, out_ids, out_d2
 
@@ -663,8 +568,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
            center_block: int = 256, retry_overflow: bool = True,
            stats_out: dict | None = None, pack_cap_frac: int = 4,
            approx_select: bool | None = None,
-           transfer_d2: bool | None = None,
-           k_super: int | None = None):
+           transfer_d2: bool | None = None):
     """All (center, kmer) pairs within ``radius`` — exact, block-pruned.
 
     Returns (center_idx, kmer_idx, dist) host arrays, identical contract
@@ -691,13 +595,15 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     With ``retry_overflow=False`` and no ``stats_out`` a warning
     reports both overflows.
 
-    ``approx_select=True`` (or HSEARCH_APPROX_SELECT=1) uses
-    approx_max_k for the surviving-block selection: ~3.2x q/s at 2^23
-    where the 429k-block top-k dominates, but a surviving block can be
-    missed ~5% of the time even when k_blocks fits — the exactness
-    guarantee (and the lossless-retry contract) no longer holds, so
-    pair it with a measured-recall gate.  At 2^20 (54k blocks) it is
-    a LOSS; leave it off there.
+    Block selection is the exact min-cascade (``_cascade_top_blocks``)
+    whenever the index has >= 4*64 blocks: identical block set to the
+    flat top-k with O(B/64) select work — the r3 O(B)-per-query select
+    falloff (13.3k q/s at 2^20 -> 3.6k at 2^24) is gone without
+    touching the exactness contract.  ``approx_select=True`` (or
+    HSEARCH_APPROX_SELECT=1) additionally makes the cascade's stage-1
+    group select approximate (approx_max_k, ~5% of surviving groups
+    may be missed — never a false positive); with the cascade exact
+    and fast it is rarely worth it — gate on measured recall.
 
     ``transfer_d2=False`` (the default whenever the index carries its
     host-side k-mer copy and the centers are k-mers) ships each packed
@@ -731,22 +637,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             f"it) — got is_kmers={is_kmers}, host_kmers="
             f"{'present' if host_km is not None else 'absent'}")
     centers_np = np.asarray(centers) if not transfer_d2 else None
-    two_level = index.sb_centroid is not None
-    if k_super is None:
-        # enough superblocks that the ks*G candidate pool holds ~4x the
-        # requested blocks (floor 32): measured-recall headroom without
-        # an O(B) select.  On a two-level index the ladder retry bumps
-        # this 4x alongside k_blocks, preserving the lossless contract.
-        k_super = 0 if not two_level else min(
-            index.num_superblocks,
-            max(32, -(-4 * k_blocks // index.sb_group)))
-    elif not two_level:
-        k_super = 0
-    two_level = two_level and k_super > 0
-    ks_eff = min(k_super, index.num_superblocks) if two_level else 0
-    kb_used = min(k_blocks,
-                  ks_eff * index.sb_group if two_level
-                  else index.num_blocks)
+    kb_used = min(k_blocks, index.num_blocks)
     use_pallas, env_approx = _env_flags()
     if approx_select is None:
         # approx block-select trades the exactness-when-k_blocks-fits
@@ -777,15 +668,13 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         pending.append((s, pad, blk, cemb, _search_block(
             index, cblk, jnp.asarray(cemb, jnp.float32),
             jnp.float32(radius), k_blocks, max_hits,
-            use_pallas, approx_select, pack_cap_frac, transfer_d2,
-            k_super)))
+            use_pallas, approx_select, pack_cap_frac, transfer_d2)))
     max_alive = 0
-    over_super = 0
     for s, pad, blk, cemb, (packed, ids, d2) in pending:
         real = center_block - pad
         packed_np = np.asarray(packed)
-        hits, (n_hits, n_alive, n_alive_sb) = compact.unpack_hits(
-            packed_np, (center_block, center_block, center_block))
+        hits, (n_hits, n_alive) = compact.unpack_hits(
+            packed_np, (center_block, center_block))
         if hits is None and pack_cap_frac > 1:
             # packed-capacity escalation: the block's hits overflowed
             # the packed buffer; re-dispatch the SAME block with the
@@ -808,16 +697,12 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
                                    jnp.int32 if is_kmers else jnp.float32),
                 jnp.asarray(cemb, jnp.float32), jnp.float32(radius),
                 k_blocks, max_hits, use_pallas, approx_select, cap,
-                transfer_d2, k_super)
-            hits, (n_hits, n_alive, n_alive_sb) = compact.unpack_hits(
-                np.asarray(packed),
-                (center_block, center_block, center_block))
+                transfer_d2)
+            hits, (n_hits, n_alive) = compact.unpack_hits(
+                np.asarray(packed), (center_block, center_block))
         bad = ((n_alive[:real] > kb_used)
-               | (n_alive_sb[:real] > ks_eff if two_level else False)
                | (n_hits[:real] > max_hits))
         over_blocks += int((n_alive[:real] > kb_used).sum())
-        if two_level:
-            over_super += int((n_alive_sb[:real] > ks_eff).sum())
         over_hits += int((n_hits[:real] > max_hits).sum())
         if real:
             max_alive = max(max_alive, int(n_alive[:real].max()))
@@ -856,25 +741,17 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
     out_k = np.concatenate(ki)
     out_d = np.concatenate(dd).astype(np.float32)
     redo_ids = np.concatenate(redo) if redo else np.empty(0, np.int64)
-    can_grow = (kb_used < index.num_blocks or over_hits
-                or (two_level and ks_eff < index.num_superblocks))
+    can_grow = kb_used < index.num_blocks or over_hits
     if retry_overflow and redo_ids.size and can_grow:
         # lossless overflow retry: re-search ONLY the overflowed centers
-        # with 4x caps (BOTH levels on a two-level index: a center that
-        # overflowed its superblock budget needs more superblocks, and
-        # more candidate blocks come with them), shrinking the center
-        # block by the same factor so the (cb, kb*bs, L) candidate
-        # gather — and the (cb, ks*G, D) centroid gather — never exceed
+        # with a 4x block cap, shrinking the center block by the same
+        # factor so the (cb, kb*bs, L) candidate gather never exceeds
         # the main pass's memory envelope (an unscaled doubling ladder
         # reached kb=16k x cb=256 = a 16 GB gather and OOMed the chip).
-        # Both caps are bounded by their domain sizes, so the recursion
-        # terminates with every survivor covered exactly.
+        # kb is bounded by the block count, so the recursion terminates
+        # with every survivor covered exactly.
         kb2 = min(4 * kb_used, index.num_blocks)
-        ks2 = min(4 * ks_eff, index.num_superblocks) if two_level \
-            else None
-        grow = max(kb2 // max(kb_used, 1),
-                   (ks2 // max(ks_eff, 1)) if two_level else 1, 1)
-        cb2 = max(1, center_block // grow)
+        cb2 = max(1, (center_block * kb_used) // kb2)
         keep = ~np.isin(out_c, redo_ids)
         sub_stats: dict = {}
         rc, rk, rd = search(
@@ -883,8 +760,7 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             max_hits=2 * max_hits if over_hits else max_hits,
             center_block=cb2, retry_overflow=True,
             stats_out=sub_stats, pack_cap_frac=pack_cap_frac,
-            approx_select=approx_select, transfer_d2=transfer_d2,
-            k_super=ks2)
+            approx_select=approx_select, transfer_d2=transfer_d2)
         out_c = np.concatenate([out_c[keep], redo_ids[rc]])
         out_k = np.concatenate([out_k[keep], rk])
         out_d = np.concatenate([out_d[keep], rd]).astype(np.float32)
@@ -894,10 +770,9 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
                 retried=int(redo_ids.size) + sub_stats.get("retried", 0),
                 retry_depth=1 + sub_stats.get("retry_depth", 0),
                 over_blocks=sub_stats.get("over_blocks", 0),
-                over_hits=sub_stats.get("over_hits", 0),
-                over_super=sub_stats.get("over_super", 0))
+                over_hits=sub_stats.get("over_hits", 0))
         return out_c, out_k, out_d
-    elif (over_blocks or over_hits or over_super) and stats_out is None:
+    elif (over_blocks or over_hits) and stats_out is None:
         # stats_out is the explicit diagnostics channel — callers who
         # pass it (the bench's recall-targeted mode) get the counts
         # there instead of a warning per call
@@ -906,11 +781,6 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
             warnings.warn(
                 f"{over_blocks} centers had more than k_blocks="
                 f"{kb_used} surviving blocks; raise k_blocks for "
-                "guaranteed-exact results")
-        if over_super:
-            warnings.warn(
-                f"{over_super} centers had more than k_super={ks_eff} "
-                "surviving superblocks; raise k_super for "
                 "guaranteed-exact results")
         if over_hits:
             warnings.warn(
@@ -922,5 +792,4 @@ def search(index: IVFIndex, centers: np.ndarray, radius: float,
         stats_out.setdefault("retry_depth", 0)
         stats_out["over_blocks"] = over_blocks
         stats_out["over_hits"] = over_hits
-        stats_out["over_super"] = over_super
     return out_c, out_k, out_d

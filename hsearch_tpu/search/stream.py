@@ -11,8 +11,8 @@ is ~2.4B.  This module removes the cap by SEGMENTING the database:
     per-segment exactness/overflow contracts compose into the global
     ones by plain union);
   * each segment's arrays live in HOST memory as the minimal byte set
-    (the superblock-ordered flat int8 rows + the int32 order map —
-    ~29 B/point); block/superblock centroids and covering radii are
+    (the block-sorted flat int8 rows + the int32 order map —
+    ~29 B/point); block centroids and covering radii are
     RECOMPUTED on device after upload (one cheap embedding pass) rather
     than stored or transferred — they derive deterministically from the
     rows themselves;
@@ -25,7 +25,7 @@ is ~2.4B.  This module removes the cap by SEGMENTING the database:
     continuous dial, not a cliff.
 
 Why segments instead of one giant index streamed blockwise: each
-segment reuses the entire existing engine — two-level pruning, packed
+segment reuses the entire existing engine — cascade block select, packed
 transfers, lossless overflow retry, measured-recall autotune — with
 zero new device code, and the per-segment cell sample comes from the
 same distribution as a global sample, so block tightness is equivalent.
@@ -53,12 +53,11 @@ from . import ivf
 
 @dataclasses.dataclass
 class HostSegment:
-    """One segment's host-resident byte set (superblock order)."""
+    """One segment's host-resident byte set (block-sorted order)."""
 
     offset: int                 # first global point id of this segment
     n_points: int
     kmer_len: int
-    sb_group: int               # 0 = single-level segment
     db_sorted: np.ndarray       # (B, bs*L) int8
     order: np.ndarray           # (B, bs) int32 segment-local ids
     host_kmers: np.ndarray      # (n, L) int8, original order
@@ -90,17 +89,17 @@ class SegmentedIVF:
         return res / max(self.n_points, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "l", "group", "bchunk"))
+@functools.partial(jax.jit, static_argnames=("n", "l", "bchunk"))
 def _recompute_bounds(db_flat: jax.Array, order: jax.Array, n: int,
-                      l: int, group: int, bchunk: int = 4096):
-    """(B, bs*L) int8 rows -> block centroids/radii (+ superblock bounds
-    when ``group``), chunk-scanned like build's stage 2.
+                      l: int, bchunk: int = 4096):
+    """(B, bs*L) int8 rows -> block centroids/radii, chunk-scanned like
+    build's stage 2.
 
     Recomputing after upload is cheaper than shipping: the f32
     centroids are 800 B/block — as many bytes as the data itself —
     while this pass is one embedding gather + mean/max over rows the
     device just received.  Padding blocks (all rows sentinel) get
-    radius -inf / centroid 0, matching ivf._stage3_superblocks.
+    radius -inf / centroid 0 (they can never test alive).
     """
     b = db_flat.shape[0]
     bs = order.shape[1]
@@ -128,18 +127,7 @@ def _recompute_bounds(db_flat: jax.Array, order: jax.Array, n: int,
     _, (cent, rad) = jax.lax.scan(
         body, None, (dbp.reshape(-1, bchunk, dbp.shape[1]),
                      orp.reshape(-1, bchunk, bs)))
-    cent = cent.reshape(-1, d)[:b]
-    rad = rad.reshape(-1)[:b]
-    if not group:
-        return cent, rad, None, None
-    g = cent.reshape(-1, group, d)
-    rr = rad.reshape(-1, group)
-    valid = jnp.isfinite(rr)
-    cnt = jnp.maximum(valid.sum(axis=1), 1)
-    sbc = jnp.sum(g * valid[..., None], axis=1) / cnt[:, None]
-    dd = jnp.sqrt(jnp.sum((g - sbc[:, None, :]) ** 2, axis=-1))
-    sbr = jnp.max(jnp.where(valid, dd + rr, -jnp.inf), axis=1)
-    return cent, rad, sbc, sbr
+    return cent.reshape(-1, d)[:b], rad.reshape(-1)[:b]
 
 
 def _to_host_segment(index: ivf.IVFIndex, offset: int) -> HostSegment:
@@ -156,7 +144,7 @@ def _to_host_segment(index: ivf.IVFIndex, offset: int) -> HostSegment:
     safe = np.minimum(order, index.n_points)
     db_flat = km_pad[safe].reshape(order.shape[0], -1)
     return HostSegment(offset=offset, n_points=index.n_points,
-                       kmer_len=l, sb_group=index.sb_group,
+                       kmer_len=l,
                        db_sorted=np.ascontiguousarray(db_flat),
                        order=order, host_kmers=km)
 
@@ -165,19 +153,16 @@ def upload_segment(seg: HostSegment) -> ivf.IVFIndex:
     """Host segment -> device IVFIndex (async h2d + one bounds pass)."""
     db = jnp.asarray(seg.db_sorted)
     order = jnp.asarray(seg.order)
-    cent, rad, sbc, sbr = _recompute_bounds(
-        db, order, seg.n_points, seg.kmer_len, seg.sb_group)
+    cent, rad = _recompute_bounds(db, order, seg.n_points, seg.kmer_len)
     return ivf.IVFIndex(db_sorted=db, order=order, block_centroid=cent,
                         block_radius=rad, n_points=seg.n_points,
                         host_kmers=ivf.HostArray(seg.host_kmers),
-                        sb_centroid=sbc, sb_radius=sbr,
-                        sb_group=seg.sb_group, kmer_len=seg.kmer_len)
+                        kmer_len=seg.kmer_len)
 
 
 def build_segmented(db_kmers, key: jax.Array,
                     segment_points: int = 1 << 22,
                     block_size: int = 32,
-                    super_group: int | None = None,
                     device_budget_bytes: int = 0,
                     progress=None) -> SegmentedIVF:
     """Build a segmented index from an (N, L) array or an iterator of
@@ -209,8 +194,7 @@ def build_segmented(db_kmers, key: jax.Array,
         kmer_len = rows.shape[1]
         sub = ivf.build_index(np.asarray(rows, np.int8),
                               jax.random.fold_in(key, len(segments)),
-                              block_size=block_size,
-                              super_group=super_group)
+                              block_size=block_size)
         seg = _to_host_segment(sub, offset)
         segments.append(seg)
         if budget >= seg.nbytes:
@@ -246,7 +230,6 @@ def search_segmented(sidx: SegmentedIVF, centers: np.ndarray,
                      max_hits: int = 256, center_block: int = 256,
                      retry_overflow: bool = True,
                      stats_out: dict | None = None,
-                     k_super: int | None = None,
                      pack_cap_frac: int = 4):
     """All (center, kmer) pairs within ``radius`` across every segment.
 
@@ -255,8 +238,8 @@ def search_segmented(sidx: SegmentedIVF, centers: np.ndarray,
     per-segment hit sets, and each segment runs the full engine
     including the lossless retry ladder).  Streamed segments are
     double-buffered: segment i+1's upload is dispatched before segment
-    i's search, overlapping h2d with compute.  ``k_blocks``/``k_super``
-    caps apply PER SEGMENT (the per-segment autotune/recall semantics
+    i's search, overlapping h2d with compute.  The ``k_blocks`` cap
+    applies PER SEGMENT (the per-segment autotune/recall semantics
     carry over unchanged).
     """
     out_c, out_k, out_d = [], [], []
@@ -282,7 +265,7 @@ def search_segmented(sidx: SegmentedIVF, centers: np.ndarray,
                                 max_hits=max_hits,
                                 center_block=center_block,
                                 retry_overflow=retry_overflow,
-                                stats_out=st, k_super=k_super,
+                                stats_out=st,
                                 pack_cap_frac=pack_cap_frac)
         seg_stats.append(st)
         out_c.append(ci)
@@ -294,7 +277,7 @@ def search_segmented(sidx: SegmentedIVF, centers: np.ndarray,
     ki = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
     dd = np.concatenate(out_d) if out_d else np.empty(0, np.float32)
     if stats_out is not None:
-        for k in ("over_blocks", "over_hits", "over_super", "retried"):
+        for k in ("over_blocks", "over_hits", "retried"):
             stats_out[k] = sum(s.get(k, 0) for s in seg_stats)
         stats_out["max_alive"] = max(
             (s.get("max_alive", 0) for s in seg_stats), default=0)

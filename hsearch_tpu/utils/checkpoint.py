@@ -32,19 +32,14 @@ def save_index(path: str, index) -> None:
             perm=np.asarray(index.tables.perm),
             db_kmers=np.asarray(index.db_kmers))
     elif isinstance(index, ivf.IVFIndex):
-        extra = {}
-        if index.sb_centroid is not None:
-            extra["sb_centroid"] = np.asarray(index.sb_centroid)
-            extra["sb_radius"] = np.asarray(index.sb_radius)
         np.savez_compressed(
             path, __kind__="ivf",
             meta=json.dumps({"n_points": index.n_points,
-                             "sb_group": index.sb_group,
                              "kmer_len": index.kmer_len}),
             db_sorted=np.asarray(index.db_sorted),
             order=np.asarray(index.order),
             block_centroid=np.asarray(index.block_centroid),
-            block_radius=np.asarray(index.block_radius), **extra)
+            block_radius=np.asarray(index.block_radius))
     elif isinstance(index, si.SeedIndex):
         extra = {}
         if index.group_starts is not None:
@@ -100,12 +95,7 @@ def load_index(path: str):
             order=jnp.asarray(z["order"]),
             block_centroid=jnp.asarray(z["block_centroid"]),
             block_radius=jnp.asarray(z["block_radius"]),
-            n_points=n_points, host_kmers=host_km,
-            sb_centroid=jnp.asarray(z["sb_centroid"])
-            if "sb_centroid" in z else None,
-            sb_radius=jnp.asarray(z["sb_radius"])
-            if "sb_radius" in z else None,
-            sb_group=int(meta.get("sb_group", 0)), kmer_len=kmer_len)
+            n_points=n_points, host_kmers=host_km, kmer_len=kmer_len)
     if kind == "seed":
         seq = np.asarray(z["seq"])
         starts = np.asarray(z["starts"])

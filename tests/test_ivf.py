@@ -269,19 +269,38 @@ def test_checkpoint_restores_host_kmers(rng, tmp_path):
     assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
 
 
-def test_two_level_exact_when_caps_fit(rng):
-    """Two-level prune with both caps uncapped == the exact oracle:
-    the superblock covering balls preserve the triangle-inequality
-    guarantee (VERDICT r3 next #1)."""
-    n, c, l = 8192, 16, 25
+def test_cascade_select_equals_flat_topk(rng):
+    """The min-cascade block select returns the SAME block set as the
+    flat top-k at every kb (the exactness proof, checked empirically:
+    if a top-kb block's group is unselected, kb distinct closer blocks
+    exist — contradiction)."""
+    import jax.numpy as jnp
+    c, b = 16, 5000
+    key = rng.random((c, b)).astype(np.float32)
+    key[rng.random((c, b)) < 0.3] = np.inf        # dead blocks
+    for kb in (16, 128, 700):
+        neg, ids = ivf._cascade_top_blocks(jnp.asarray(key), kb, 64)
+        fneg, fids = jax.lax.top_k(-jnp.asarray(key), kb)
+        # compare as sets of (center, block) among finite keys
+        got = {(ci, int(bi)) for ci in range(c)
+               for bi, v in zip(np.asarray(ids)[ci], np.asarray(neg)[ci])
+               if np.isfinite(v)}
+        want = {(ci, int(bi)) for ci in range(c)
+                for bi, v in zip(np.asarray(fids)[ci],
+                                 np.asarray(fneg)[ci])
+                if np.isfinite(v)}
+        assert got == want
+
+
+def test_cascade_search_exact_when_blocks_fit(rng):
+    """A build big enough to take the cascade path (>= 4*64 blocks)
+    with uncapped k_blocks == the exact oracle."""
+    n, c, l = 16384, 16, 25
     db, centers = _family_db(rng, n, c, l)
-    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8,
-                          super_group=8)
-    assert idx.sb_centroid is not None and idx.sb_group == 8
-    assert idx.num_blocks == idx.num_superblocks * 8
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8)
+    assert idx.num_blocks >= 4 * ivf._SELECT_GROUP
     ci, ki, d = ivf.search(idx, centers, 35.0,
-                           k_blocks=idx.num_blocks, max_hits=2048,
-                           k_super=idx.num_superblocks)
+                           k_blocks=idx.num_blocks, max_hits=2048)
     gci, gki, gd = exact.search_radius(db, centers, 35.0)
     assert set(zip(ci, ki)) == set(zip(gci, gki))
     gt = {(a, b): v for a, b, v in zip(gci, gki, gd)}
@@ -289,75 +308,57 @@ def test_two_level_exact_when_caps_fit(rng):
         np.testing.assert_allclose(v, gt[(a, b)], atol=1e-2)
 
 
-def test_two_level_retry_ladder_is_lossless(rng):
-    """Tiny k_super/k_blocks caps + retry_overflow: the 4x ladder must
-    escalate BOTH levels until every center's survivors fit — hit set
+def test_cascade_retry_ladder_is_lossless(rng):
+    """Tiny k_blocks + retry_overflow through the cascade path: the 4x
+    ladder escalates until every center's survivors fit — hit set
     exactly equal to the oracle."""
-    n, c, l = 8192, 24, 25
+    n, c, l = 16384, 24, 25
     db, centers = _family_db(rng, n, c, l)
-    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8,
-                          super_group=8)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8)
     stats: dict = {}
     ci, ki, _ = ivf.search(idx, centers, 35.0, k_blocks=4, max_hits=64,
-                           k_super=2, retry_overflow=True,
-                           stats_out=stats)
+                           retry_overflow=True, stats_out=stats)
     gci, gki, _ = exact.search_radius(db, centers, 35.0)
     assert set(zip(ci, ki)) == set(zip(gci, gki))
     assert stats["retried"] > 0
 
 
-def test_two_level_capped_matches_single_level_recall(rng):
-    """Recall-gated operating point: the two-level select with a
-    generous candidate pool finds the same nearest-block hits as the
-    flat select at the same k_blocks."""
+def test_cascade_capped_matches_flat_hit_set(rng):
+    """Recall-gated operating point: searching through the cascade
+    select yields the identical hit set to a small flat-select index
+    over the same data at the same kb (the cascade is exact, not an
+    approximation)."""
     n, c, l = 16384, 32, 25
     db, centers = _family_db(rng, n, c, l)
     key = jax.random.PRNGKey(0)
-    flat = ivf.build_index(db, key, block_size=8, super_group=0)
-    two = ivf.build_index(db, key, block_size=8, super_group=8)
-    assert flat.sb_centroid is None
+    idx = ivf.build_index(db, key, block_size=8)
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        fc, fk, _ = ivf.search(flat, centers, 30.0, k_blocks=128,
-                               max_hits=1024, retry_overflow=False)
-        tc, tk, _ = ivf.search(two, centers, 30.0, k_blocks=128,
-                               max_hits=1024, retry_overflow=False)
-    gci, gki, _ = exact.search_radius(db, centers, 30.0)
-    gt = set(zip(gci, gki))
-    fset, tset = set(zip(fc, fk)), set(zip(tc, tk))
-    assert tset <= gt                     # never a false positive
-    # the contract is recall vs the oracle, not hit-set identity with
-    # the flat select (the candidate pools differ: flat ranks blocks
-    # globally, two-level ranks supercells then blocks within)
-    f_recall = len(fset & gt) / max(1, len(gt))
-    t_recall = len(tset & gt) / max(1, len(gt))
-    assert t_recall >= 0.99
-    assert t_recall >= f_recall - 0.005
+        a = ivf.search(idx, centers, 30.0, k_blocks=128,
+                       max_hits=1024, retry_overflow=False)
+        # flat reference: force the flat top-k by monkeypatching the
+        # threshold out of reach
+        orig = ivf._SELECT_GROUP
+        try:
+            ivf._SELECT_GROUP = 1 << 30
+            b = ivf.search(idx, centers, 30.0, k_blocks=128,
+                           max_hits=1024, retry_overflow=False)
+        finally:
+            ivf._SELECT_GROUP = orig
+    assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
 
 
-def test_two_level_checkpoint_roundtrip(rng, tmp_path):
+def test_big_index_checkpoint_roundtrip(rng, tmp_path):
     from hsearch_tpu.utils import checkpoint as ckpt
-    n, c, l = 8192, 8, 25
+    n, c, l = 16384, 8, 25
     db, centers = _family_db(rng, n, c, l)
-    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8,
-                          super_group=8)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8)
     p = str(tmp_path / "ivf2.npz")
     ckpt.save_index(p, idx)
     idx2 = ckpt.load_index(p)
-    assert idx2.sb_group == 8
-    np.testing.assert_array_equal(np.asarray(idx2.sb_radius),
-                                  np.asarray(idx.sb_radius))
+    assert idx2.kmer_len == l and idx2.block_size == 8
     a = ivf.search(idx, centers, 35.0, k_blocks=64, retry_overflow=False)
     b = ivf.search(idx2, centers, 35.0, k_blocks=64,
                    retry_overflow=False)
     assert set(zip(a[0], a[1])) == set(zip(b[0], b[1]))
-
-
-def test_default_super_group_thresholds(rng):
-    # small build stays single-level; the helper switches at ~2k blocks
-    assert ivf.default_super_group(100) == 0
-    assert ivf.default_super_group(4096) == 32
-    db = rng.integers(0, 20, (512, 10), dtype=np.int32)
-    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8)
-    assert idx.sb_centroid is None and idx.sb_group == 0

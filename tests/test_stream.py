@@ -93,12 +93,11 @@ def test_device_budget_keeps_prefix_resident(rng):
 
 
 def test_recomputed_bounds_match_build(rng):
-    """upload_segment's recomputed block/superblock bounds equal the
-    original build's (same data, same formulas)."""
+    """upload_segment's recomputed block bounds equal the original
+    build's (same data, same formulas)."""
     n, l = 8192, 25
     db, _ = _family_db(rng, n, 4, l)
-    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8,
-                          super_group=8)
+    idx = ivf.build_index(db, jax.random.PRNGKey(0), block_size=8)
     seg = stream._to_host_segment(idx, 0)
     up = stream.upload_segment(seg)
     np.testing.assert_allclose(np.asarray(up.block_centroid),
@@ -106,7 +105,5 @@ def test_recomputed_bounds_match_build(rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(up.block_radius),
                                np.asarray(idx.block_radius), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(up.sb_radius),
-                               np.asarray(idx.sb_radius), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(up.db_sorted),
                                   np.asarray(idx.db_sorted))
