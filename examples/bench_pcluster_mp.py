@@ -116,12 +116,18 @@ def main():
         return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(float(args[0])) if args else 10000
-    nproc, tables = 2, 4
+    nproc, tables, logdir = 2, 4, None
     for a in sys.argv[1:]:
         if a.startswith("--nproc="):
             nproc = int(a.split("=")[1])
         if a.startswith("--tables="):
             tables = int(a.split("=")[1])
+        if a.startswith("--logdir="):
+            # stream each child's output to a file (multi-hour runs are
+            # otherwise silent until the end; pair with
+            # HSEARCH_PROGRESS=1 for heartbeats)
+            logdir = a.split("=")[1]
+            os.makedirs(logdir, exist_ok=True)
     if "--single" in sys.argv:
         nproc = 1
     with socket.socket() as s:
@@ -130,12 +136,24 @@ def main():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.perf_counter()
+    logs = [open(os.path.join(logdir, f"child{p}.log"), "w")
+            if logdir else None for p in range(nproc)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child",
          str(p), str(nproc), str(port), str(n), str(tables)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=env, stdout=logs[p] or subprocess.PIPE,
+        stderr=logs[p] or subprocess.STDOUT,
         text=True) for p in range(nproc)]
-    outs = [p.communicate()[0] for p in procs]
+    if logdir:
+        outs = []
+        for p, f in zip(procs, logs):
+            p.wait()
+            f.close()
+        for p_ in range(nproc):
+            with open(os.path.join(logdir, f"child{p_}.log")) as f:
+                outs.append(f.read())
+    else:
+        outs = [p.communicate()[0] for p in procs]
     wall = time.perf_counter() - t0
     bad = [i for i, p in enumerate(procs) if p.returncode != 0]
     if bad:
