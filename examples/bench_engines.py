@@ -131,6 +131,7 @@ def main():
     points = [("L8", 8)]
     if "--ref-point" in sys.argv:
         points.append(("L32", 32))
+    do_merge = "--merge" in sys.argv
     for tag, hl in points:
         t0 = time.perf_counter()
         cfg2 = greedy.ClusterConfig(hash_k=16, hash_l=hl, w=50.0,
@@ -145,6 +146,22 @@ def main():
                           "family_pair_recall":
                               round(pair_recall(lab, fam_sub), 4)}),
               flush=True)
+        if do_merge:
+            # hclust v1's centroid-merge applied post-hoc: the
+            # quality/throughput frontier of greedy + center merge
+            from hsearch_tpu.cluster import postprocess
+            t0 = time.perf_counter()
+            mlab = postprocess.merge_by_center_distance(
+                db[:nc], lab, radius, jax.random.PRNGKey(3))
+            m_s = time.perf_counter() - t0
+            print(json.dumps({
+                "engine": f"hclust2_greedy_{tag}+merge", "n": nc,
+                "merge_s": round(m_s, 1),
+                "kmers_per_s": round(nc / (nc / g_kps + m_s), 1),
+                "clusters": int(len(np.unique(mlab))),
+                "family_pair_recall":
+                    round(pair_recall(mlab, fam_sub), 4)}),
+                flush=True)
 
         t0 = time.perf_counter()
         ccfg = centroid.CentroidConfig(hash_k=16, hash_l=hl, w=50.0,

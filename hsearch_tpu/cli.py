@@ -268,10 +268,25 @@ def cmd_hclust2(args):
             km, jax.random.PRNGKey(args.seed), cfg)
     else:
         res = greedy.cluster_greedy(km, jax.random.PRNGKey(args.seed), cfg)
+    if getattr(args, "merge_radius", None):
+        # hclust v1's centroid-merge stage (hclust.cpp:186-235) applied
+        # to the greedy labels: union clusters whose center k-mers fall
+        # within --merge-radius (see postprocess.merge_by_center_distance)
+        import numpy as np
+        from .cluster import postprocess
+        lab = np.where(res.parent >= 0, res.parent,
+                       np.arange(len(res.parent)))
+        lab = postprocess.merge_by_center_distance(
+            km, lab, args.merge_radius, jax.random.PRNGKey(args.seed + 1))
+        order = np.argsort(lab, kind="stable")
+        sl = lab[order]
+        groups = np.split(order, np.nonzero(sl[1:] != sl[:-1])[0] + 1)
+    else:
+        groups = res.clusters()
     # member lines are the k-mer sequences: the post-processing tools read
     # them back as sequences (centerDistanceSmapling.cpp:119,146)
     strs = alphabet.decode_all(km)
-    clusters = [[strs[int(i)] for i in grp] for grp in res.clusters()]
+    clusters = [[strs[int(i)] for i in grp] for grp in groups]
     hio.write_clusters(args.output, clusters, style="hclust2")
     print(f"[{len(clusters)} clusters -> {args.output}]", file=sys.stderr)
 
@@ -689,6 +704,13 @@ def build_parser() -> argparse.ArgumentParser:
                        help="native-kernel OpenMP threads for this "
                             "process (default: all cores; distributed "
                             "runs default to ncores/nproc)")
+        if tool != "hclust":
+            q.add_argument("--merge-radius", type=float, default=None,
+                           help="post-merge pass: union clusters whose "
+                                "center k-mers are within this distance "
+                                "(hclust v1's centroid merge, "
+                                "hclust.cpp:186-235); counters the "
+                                "greedy pass's family fragmentation")
         q.set_defaults(func=func)
 
     q = sub.add_parser("pcluster")

@@ -65,6 +65,51 @@ def center_distance_samples(centers: np.ndarray,
     return inter, rand_d
 
 
+def merge_by_center_distance(kmers: np.ndarray, labels: np.ndarray,
+                             merge_radius: float, key,
+                             k_blocks: int = 128,
+                             max_hits: int = 256) -> np.ndarray:
+    """Transitive post-merge: union clusters whose center k-mers lie
+    within ``merge_radius`` of each other.
+
+    The reference's hclust v1 re-clusters CLUSTERS by hashing their
+    centroids and merging nearby ones (ClustingBucket,
+    hclust/src/hclust/hclust.cpp:186-235); hclust2's greedy pass has no
+    such stage, so one family fragments into every center the bucket
+    order happened to elect (measured: ~785k clusters on a 16k-family
+    corpus at 2^20).  This applies the v1 merge idea post-hoc to any
+    center-labeled clustering: the centers are themselves k-mer rows,
+    so the merge edge set is exactly a radius search of centers against
+    centers — which reuses the IVF engine (build + min-cascade search)
+    instead of a quadratic centroid loop — followed by union-find.
+
+    ``labels`` must hold, per row, the row index of its cluster center
+    (the cluster_greedy convention: parent for absorbed rows, own index
+    for heads).  Returns new labels in the same convention (every
+    component is relabeled to its smallest head).
+    """
+    from ..search import ivf
+    from . import union_find
+
+    labels = np.asarray(labels)
+    heads, inverse = np.unique(labels, return_inverse=True)
+    if len(heads) <= 1:
+        return labels.copy()
+    centers = np.ascontiguousarray(kmers[heads]).astype(np.int32)
+    index = ivf.build_index(centers, key, block_size=32)
+    ci, ki, _ = ivf.search(index, centers, merge_radius,
+                           k_blocks=k_blocks, max_hits=max_hits,
+                           retry_overflow=False, stats_out={})
+    comp = union_find.connected_components(len(heads), ci, ki)
+    # relabel each component to its smallest head row index (stable
+    # argsort + sorted heads => starts picks each component's minimum)
+    order = np.argsort(comp, kind="stable")
+    sc = comp[order]
+    starts = np.searchsorted(sc, np.arange(comp.max() + 1))
+    first = heads[order[starts]]
+    return first[comp[inverse]]
+
+
 def meme_probability_matrix(members: list[str]) -> np.ndarray:
     """(w, 20) letter-probability matrix in MEME_ALPHABET column order."""
     w = len(members[0])

@@ -308,3 +308,38 @@ def test_decode_all_matches_decode(rng):
     strs = alphabet.decode_all(km)
     for i in range(50):
         assert strs[i] == alphabet.decode(km[i])
+
+
+def test_merge_by_center_distance(rng):
+    """Two fragments of one tight family merge; a far cluster stays.
+
+    The oracle is the transitive closure over exact center-center
+    distances (hclust v1's merge criterion, hclust.cpp:186-235)."""
+    from hsearch_tpu.cluster import postprocess
+    from hsearch_tpu.ops import distance as dist_ops
+    import jax.numpy as jnp
+
+    base = rng.integers(0, 20, (1, 12), dtype=np.int32)
+    near = base.copy()
+    near[0, 0] = (near[0, 0] + 1) % 20          # one substitution
+    far = rng.integers(0, 20, (1, 12), dtype=np.int32)
+    km = np.concatenate([np.tile(base, (4, 1)), np.tile(near, (4, 1)),
+                         np.tile(far, (4, 1))])
+    labels = np.repeat([0, 4, 8], 4)             # three center-labeled
+    emb = embedding.embed_kmers(km[[0, 4, 8]])
+    d = np.sqrt(np.asarray(dist_ops.sq_distance_matrix(
+        jnp.asarray(emb), jnp.asarray(emb))).clip(0))
+    r = (d[0, 1] + d[0, 2]) / 2                  # splits near from far
+    merged = postprocess.merge_by_center_distance(
+        km, labels, r, jax.random.key(0))
+    assert (merged[:8] == 0).all()               # fragments unify
+    assert (merged[8:] == 8).all()               # far cluster untouched
+
+
+def test_merge_by_center_distance_single_cluster(rng):
+    from hsearch_tpu.cluster import postprocess
+    km = rng.integers(0, 20, (6, 8), dtype=np.int32)
+    labels = np.zeros(6, np.int64)
+    out = postprocess.merge_by_center_distance(
+        km, labels, 10.0, jax.random.key(0))
+    np.testing.assert_array_equal(out, labels)
