@@ -48,7 +48,8 @@ class _DB:
     def __init__(self, seqs):
         n, plen = seqs.shape
         self.names = [f"p{i}" for i in range(n)]
-        self.seq = seqs.reshape(-1).astype(np.int32)
+        # view, not astype copy: at 9.9M proteins the copy is 4.7 GB
+        self.seq = np.ascontiguousarray(seqs, np.int32).reshape(-1)
         self.starts = (np.arange(n + 1, dtype=np.int64) * plen)
         self.num_proteins = n
 
@@ -87,6 +88,7 @@ def child_main(pid, nproc, port, n, tables):
             num_processes=nproc, process_id=pid)
     seqs, n_fam = make_corpus(n)
     db = _DB(seqs)
+    del seqs
     t0 = time.perf_counter()
     if nproc > 1:
         res = pcluster_dist.cluster_proteins_distributed(

@@ -89,6 +89,33 @@ def _collapse_diag_runs(qpos, dpos, qpid, dpid, tol: int):
     return order[new_run]
 
 
+class _LocalIds:
+    """global protein id -> local row, dict-compatible surface.
+
+    A 9.9M-entry {int: int} dict held ~1 GB of pointer-boxed ints and
+    cost a hash probe per lookup; one int32 inverse array is 40 MB and
+    vectorizes (used by the fromiter walks in _render_strings_all)."""
+
+    __slots__ = ("inv",)
+
+    def __init__(self, ids: np.ndarray):
+        n = int(ids.max()) + 1 if len(ids) else 0
+        self.inv = np.full(n, -1, np.int32)
+        self.inv[ids] = np.arange(len(ids), dtype=np.int32)
+
+    def __getitem__(self, gid) -> int:
+        gid = int(gid)
+        v = int(self.inv[gid]) if 0 <= gid < len(self.inv) else -1
+        if v < 0:
+            raise KeyError(gid)
+        return v
+
+    def get(self, gid, default=None):
+        gid = int(gid)
+        v = int(self.inv[gid]) if 0 <= gid < len(self.inv) else -1
+        return default if v < 0 else v
+
+
 @dataclasses.dataclass
 class Hit:
     """One reported alignment (CHitUnit fields, hit_unit.hpp:6-34)."""
@@ -147,13 +174,26 @@ class ProteinSearcher:
             lens = (dstarts[self.ids + 1] - dstarts[self.ids]) \
                 .astype(np.int64)
             total = int(lens.sum())
-            first = np.cumsum(lens) - lens
-            offs = np.arange(total, dtype=np.int64) \
-                - np.repeat(first, lens)
-            seq = np.asarray(db.seq)[
-                np.repeat(dstarts[self.ids], lens) + offs] \
-                if total else np.zeros(0, np.int32)
             starts = np.concatenate([[0], np.cumsum(lens)])
+            # chunked gather: the one-shot vectorized form allocated
+            # three total-size int64 temporaries (~29 GB at 1.19B aa,
+            # part of the 9.9M-protein OOM); per-chunk temporaries are
+            # bounded while the copy stays vectorized
+            seq = np.empty(total, np.int32)
+            src = np.asarray(db.seq)
+            step = 1 << 20
+            for lo in range(0, len(self.ids), step):
+                ids_c = self.ids[lo:lo + step]
+                lens_c = lens[lo:lo + step]
+                tot_c = int(lens_c.sum())
+                if not tot_c:
+                    continue
+                first_c = np.cumsum(lens_c) - lens_c
+                offs = np.arange(tot_c, dtype=np.int64) \
+                    - np.repeat(first_c, lens_c)
+                base = int(starts[lo])
+                seq[base:base + tot_c] = src[
+                    np.repeat(dstarts[ids_c], lens_c) + offs]
         self.seq = np.asarray(seq, np.int32)
         self.starts = np.asarray(starts, np.int64)
         self.groups = None if groups is None else np.asarray(groups)
@@ -182,7 +222,7 @@ class ProteinSearcher:
         self._win = -(-max(self._max_prot, 1) // 64) * 64
         # global id -> local row (O(1); an == scan per hit cost O(P) each,
         # VERDICT r1 weak #5)
-        self._local_of = {int(g): i for i, g in enumerate(self.ids)}
+        self._local_of = _LocalIds(self.ids)
         total_aa = int(self.starts[-1])
         self.stat = blast_stat.BlastStat(float(total_aa), len(self.ids),
                                          gapped=True)

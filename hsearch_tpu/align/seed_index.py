@@ -62,7 +62,8 @@ class SeedIndex:
     """
 
     sorted_codes: jax.Array    # (P,) uint32
-    positions: jax.Array       # (P,) int32 flat offsets, sorted like codes
+    positions: jax.Array       # (P,) int64 flat offsets, sorted like codes
+                               # (shared with HostSeedView — one array)
     seq: jax.Array             # (S,) int32 AA indices of the concatenated DB
     starts: jax.Array          # (N+1,) int32 per-protein offsets
     group_starts: jax.Array | None = None   # (G+1,) int32 or None
@@ -110,6 +111,13 @@ def _codes_for(seq: jax.Array, starts: jax.Array):
 
 
 _G10_PASS = 15    # "subject has no 4th suffix residue" — matches anything
+
+#: group count below which the grouped index build sorts each group's
+#: segment separately (temporaries bounded by the largest group) instead
+#: of one full-size composite radix (~56 B/position of temporaries —
+#: the 9.9M-protein giant-group OOM).  Above it, per-group selection
+#: passes over g would cost n_groups full scans.
+_SEGMENTED_SORT_MAX_GROUPS = 1024
 
 
 def host_codes(seq: np.ndarray, starts: np.ndarray):
@@ -337,48 +345,95 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
     codes, valid6, _, _, g10 = _seed_tables(seq, starts)
     pos = np.nonzero(valid6)[0].astype(np.int32)
     c = codes[pos]
+    del codes, valid6
     gs = None
     if protein_groups is None:
         # parallel LSD radix when native (uniform high bytes skipped),
         # np stable argsort otherwise — identical permutations
         order = native_ext.argsort_u64(c.astype(np.uint64))
         view_keys = None          # raw uint32 codes
+        c_sorted = c[order]
+        pos_sorted = pos[order].astype(np.int32)
+        del order
     else:
         pg = np.asarray(protein_groups)
         n_groups = int(pg.max()) + 1 if pg.size else 0
-        pid = native_ext.searchsorted_right(starts, pos) - 1
-        g = pg[pid]
-        # one stable argsort on the fused (group << 32) | code key
-        # orders identically to np.lexsort((c, g)) (both stable, same
-        # effective key) and measures 2.4x faster at 40M positions —
-        # this sort dominates per-table index build at 1e6 proteins
-        key = (g.astype(np.uint64) << np.uint64(32)) \
-            | c.astype(np.uint64)
-        order = native_ext.argsort_u64(key)
-        # the sorted composite IS the host-view key — recomputing it
-        # via _view_keys re-ran the per-position group searchsorted
-        # (measured 12 s of a 1e5/tables=4 run)
-        view_keys = key[order]
+        # per-position group id via repeat (no int64 searchsorted
+        # temporaries: at 1.19B positions the searchsorted path
+        # allocated 3 full-size int64 arrays)
+        g_at = np.repeat(pg.astype(np.int32), np.diff(starts))
+        g = g_at[pos]
+        del g_at
         counts = np.bincount(g, minlength=n_groups)
-        gs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-    c_sorted = c[order]
-    pos_sorted = pos[order].astype(np.int32)
+        gs64 = np.concatenate([[0], np.cumsum(counts)])
+        gs = gs64.astype(np.int32)
+        if n_groups <= _SEGMENTED_SORT_MAX_GROUPS:
+            # segmented per-group sort: the one-shot composite radix
+            # peaks at ~56 B/position of temporaries (key + order +
+            # the native radix's 4 full-size buffers) — 65 GB at 1.19B
+            # positions, the measured 9.9M-protein OOM.  Sorting each
+            # group segment separately is the same stable
+            # (group, code) order with temporaries bounded by the
+            # largest group.
+            view_keys = np.empty(len(c), np.uint64)
+            c_sorted = np.empty(len(c), np.uint32)
+            pos_sorted = np.empty(len(c), np.int32)
+            for gi in range(n_groups):
+                sel = np.nonzero(g == gi)[0]
+                if not len(sel):
+                    continue
+                cg = c[sel]
+                og = native_ext.argsort_u64(cg.astype(np.uint64))
+                lo, hi = int(gs64[gi]), int(gs64[gi + 1])
+                cs = cg[og]
+                c_sorted[lo:hi] = cs
+                view_keys[lo:hi] = (np.uint64(gi) << np.uint64(32)) \
+                    | cs.astype(np.uint64)
+                pos_sorted[lo:hi] = pos[sel][og]
+                del sel, cg, og, cs
+            del g, c, pos
+        else:
+            # one stable argsort on the fused (group << 32) | code key
+            # orders identically to np.lexsort((c, g)) (both stable,
+            # same effective key) and measures 2.4x faster at 40M
+            # positions — this sort dominates per-table index build at
+            # 1e6 proteins.  (Many-small-groups regime: a per-group
+            # loop would pay n_groups full passes over g.)
+            key = (g.astype(np.uint64) << np.uint64(32)) \
+                | c.astype(np.uint64)
+            del g
+            order = native_ext.argsort_u64(key)
+            # the sorted composite IS the host-view key — recomputing
+            # it via _view_keys re-ran the per-position group
+            # searchsorted (measured 12 s of a 1e5/tables=4 run)
+            view_keys = key[order]
+            del key
+            c_sorted = c[order]
+            del c
+            pos_sorted = pos[order].astype(np.int32)
+            del pos, order
     # host-resident index: the pipeline probes through the HostSeedView
     # and extends against its own padded device sequence, so nothing
     # here is read on device in the batched path — eager jnp.asarray
     # uploads cost ~50 s/table at 1e5 through a remote-TPU link for
     # arrays only the device probe() oracle reads.  jit converts the
     # numpy leaves on first use, so probe() still works unchanged.
+    # ONE positions array, int64, shared by index and view: keeping the
+    # int32 twin alongside the view's int64 copy held 14.2 GB at 1.19B
+    # positions where 9.5 suffices (jit converts the index leaf on the
+    # oracle probe path's first use)
+    pos64 = pos_sorted.astype(np.int64)
+    del pos_sorted
     index = SeedIndex(
         sorted_codes=c_sorted,
-        positions=pos_sorted,
+        positions=pos64,
         seq=np.asarray(seq, np.int32),
         starts=np.asarray(starts, np.int32),
         group_starts=gs,
         g10_at=g10)
     view = HostSeedView(
         keys=c_sorted if view_keys is None else view_keys,
-        positions=pos_sorted.astype(np.int64),
+        positions=pos64,
         g10_at=g10, grouped=gs is not None)
     return index, view
 
