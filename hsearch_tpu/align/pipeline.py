@@ -736,21 +736,33 @@ class ProteinSearcher:
         code, _, valid10, qgrp10_all = seed_index.host_codes(
             self.seq, self.starts)
         qidx = np.nonzero(valid10)[0]
+        del valid10
+        plens = np.diff(self.starts)
         if query_rows is not None:
             # restrict probing positions to the query slice's proteins
+            # (per-position owner via one bool repeat — the former
+            # int64 searchsorted allocated 2 total-size arrays, part of
+            # the 9.9M-protein probe-phase OOM)
             qr = np.zeros(len(self.ids), bool)
             qr[np.asarray(query_rows)] = True
-            ppid_all = native_ext.searchsorted_right(
-                self.starts, qidx) - 1
-            qidx = qidx[qr[ppid_all]]
+            qr_at = np.repeat(qr, plens)
+            qidx = qidx[qr_at[qidx]]
+            del qr_at
         qgroups = None
         if self.groups is not None:
             # group of the protein owning each probing position
-            ppid = native_ext.searchsorted_right(self.starts, qidx) - 1
-            qgroups = self.groups[ppid]
+            g_at = np.repeat(self.groups.astype(np.int32), plens)
+            qgroups = g_at[qidx]
+            del g_at
+        # keep only the probing positions' slices of the full-sequence
+        # tables before the probe allocates its pair arrays
+        qcode = code[qidx]
+        qgrp10 = qgrp10_all[qidx]
+        del code, qgrp10_all
         rows, dpos, n_over = seed_index.probe_host(
-            self._hview, code[qidx], qgrp10_all[qidx],
+            self._hview, qcode, qgrp10,
             self.params.cand_max, qgroups=qgroups)
+        del qcode, qgrp10, qgroups
         if n_over:
             import warnings
             warnings.warn(
@@ -767,6 +779,7 @@ class ProteinSearcher:
             # numpy chain below ran ~8 separate passes over ~50M
             # pairs/table at 1e5 proteins
             six, pids_arr = prep
+            del rows, dpos          # 16 B/pair — dead once packed
             query_local = pids_arr[0]
             dpid = pids_arr[1]
         else:
