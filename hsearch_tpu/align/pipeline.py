@@ -46,6 +46,12 @@ class SearchParams:
     cand_max: int = 256               # per-probe candidate cap (device)
     pair_batch: int = 8192            # extension lanes per device call
     collapse_runs: int = 6            # seed-run collapse tolerance (0=off)
+    probe_chunk: int = 1 << 24        # query positions per probe slice:
+                                      # bounds the RAW candidate arrays
+                                      # (16 B each pre-collapse; one
+                                      # whole-corpus probe OOMed at 4e6
+                                      # proteins in the giant-group
+                                      # regime)
 
 
 def _collapse_diag_runs(qpos, dpos, qpid, dpid, tol: int):
@@ -754,64 +760,108 @@ class ProteinSearcher:
             g_at = np.repeat(self.groups.astype(np.int32), plens)
             qgroups = g_at[qidx]
             del g_at
-        # keep only the probing positions' slices of the full-sequence
-        # tables before the probe allocates its pair arrays
-        qcode = code[qidx]
-        qgrp10 = qgrp10_all[qidx]
-        del code, qgrp10_all
-        rows, dpos, n_over = seed_index.probe_host(
-            self._hview, qcode, qgrp10,
-            self.params.cand_max, qgroups=qgroups)
-        del qcode, qgrp10, qgroups
+        # probe + pair-prep run CHUNKED over query-position slices, cut
+        # at protein boundaries: one whole-corpus probe allocated the
+        # RAW candidate (rows, dpos) arrays at once — 16 B per
+        # pre-collapse candidate, and in the giant-group regime raw
+        # candidates grow ~N x bucket-size (measured: the 4e6-protein
+        # run OOMed at 64 GB/child here).  Per-chunk raw pairs are
+        # bounded; only the post-filter/post-collapse packed layout
+        # (far smaller: family diagonals collapse to single entries)
+        # is kept.  Chunks never split one protein's positions, so
+        # diag-run collapse sees exactly the runs it saw unchunked —
+        # outputs are concatenation-identical.
+        tol = int(self.params.collapse_runs or 0)
+        n_over = 0
+        six_parts, ql_parts, dpid_parts = [], [], []
+        chunk_target = int(self.params.probe_chunk)
+        i0 = 0
+        while i0 < len(qidx):
+            j = min(i0 + chunk_target, len(qidx))
+            if j < len(qidx):
+                # extend to the owning protein's end (qidx ascending)
+                pid_last = int(np.searchsorted(
+                    self.starts, int(qidx[j - 1]), side="right")) - 1
+                j = int(np.searchsorted(
+                    qidx, int(self.starts[pid_last + 1]), side="left"))
+                j = max(j, i0 + 1)
+            qidx_c = qidx[i0:j]
+            qg_c = None if qgroups is None else qgroups[i0:j]
+            rows, dpos, n_ov = seed_index.probe_host(
+                self._hview, code[qidx_c], qgrp10_all[qidx_c],
+                self.params.cand_max, qgroups=qg_c)
+            n_over += n_ov
+            i0 = j
+            if rows.size == 0:
+                continue
+            prep = native_ext.pair_prep(rows, dpos, qidx_c, self.starts,
+                                        self.ids, exclude_pairs, tol)
+            if prep is not None:
+                # one fused parallel pass: pid lookups, SEED_LEN +
+                # exclude filters, diag-run collapse, packed extension
+                # layout — the numpy chain below ran ~8 separate passes
+                # over ~50M pairs/table at 1e5 proteins
+                six_c, pids_arr = prep
+                del rows, dpos      # 16 B/pair — dead once packed
+                ql_c = pids_arr[0]
+                dpid_c = pids_arr[1]
+            else:
+                qpos = qidx_c[rows]
+                # subjects need the full 10-residue seed
+                # (hash_search.cpp:538-540); pairs arrive
+                # (qpos, dpos)-sorted and duplicate-free from the
+                # single-probe ragged pass
+                dpid_c = native_ext.searchsorted_right(
+                    self.starts, dpos) - 1
+                ok = self.starts[dpid_c + 1] - dpos \
+                    >= seed_index.SEED_LEN
+                qpos, dpos, dpid_c = qpos[ok], dpos[ok], dpid_c[ok]
+                qpid = native_ext.searchsorted_right(
+                    self.starts, qpos) - 1
+                if exclude_pairs is not None and len(qpos):
+                    pk = (self.ids[qpid].astype(np.uint64)
+                          << np.uint64(32)) \
+                        | self.ids[dpid_c].astype(np.uint64)
+                    at = np.searchsorted(exclude_pairs, pk)
+                    at = np.minimum(at, max(len(exclude_pairs) - 1, 0))
+                    known = (exclude_pairs[at] == pk) \
+                        if len(exclude_pairs) \
+                        else np.zeros(len(pk), bool)
+                    qpos, dpos = qpos[~known], dpos[~known]
+                    qpid, dpid_c = qpid[~known], dpid_c[~known]
+                if tol and len(qpos):
+                    keep = _collapse_diag_runs(qpos, dpos, qpid,
+                                               dpid_c, tol)
+                    keep.sort()    # keep qpos ascending for slicing
+                    qpos, dpos = qpos[keep], dpos[keep]
+                    qpid, dpid_c = qpid[keep], dpid_c[keep]
+                ql_c = qpid
+                six_c = np.empty((6, len(qpos)), np.int32)
+                for i, arr in enumerate((qpos, dpos, self.starts[qpid],
+                                         self.starts[qpid + 1],
+                                         self.starts[dpid_c],
+                                         self.starts[dpid_c + 1])):
+                    six_c[i] = arr
+            if six_c.shape[1]:
+                six_parts.append(six_c)
+                ql_parts.append(ql_c)
+                dpid_parts.append(dpid_c)
+        del code, qgrp10_all, qgroups
         if n_over:
             import warnings
             warnings.warn(
                 f"{n_over} seed buckets exceeded cand_max="
                 f"{self.params.cand_max}; raise SearchParams.cand_max")
-        if rows.size == 0:
+        if not six_parts:
+            profiling.add("align/probe", time.perf_counter() - _t0)
             return []
-        tol = int(self.params.collapse_runs or 0)
-        prep = native_ext.pair_prep(rows, dpos, qidx, self.starts,
-                                    self.ids, exclude_pairs, tol)
-        if prep is not None:
-            # one fused parallel pass: pid lookups, SEED_LEN + exclude
-            # filters, diag-run collapse, packed extension layout — the
-            # numpy chain below ran ~8 separate passes over ~50M
-            # pairs/table at 1e5 proteins
-            six, pids_arr = prep
-            del rows, dpos          # 16 B/pair — dead once packed
-            query_local = pids_arr[0]
-            dpid = pids_arr[1]
-        else:
-            qpos = qidx[rows]
-            # subjects need the full 10-residue seed
-            # (hash_search.cpp:538-540); pairs arrive (qpos, dpos)-sorted
-            # and duplicate-free from the single-probe ragged pass
-            dpid = native_ext.searchsorted_right(self.starts, dpos) - 1
-            ok = self.starts[dpid + 1] - dpos >= seed_index.SEED_LEN
-            qpos, dpos, dpid = qpos[ok], dpos[ok], dpid[ok]
-            qpid = native_ext.searchsorted_right(self.starts, qpos) - 1
-            if exclude_pairs is not None and len(qpos):
-                pk = (self.ids[qpid].astype(np.uint64) << np.uint64(32)) \
-                    | self.ids[dpid].astype(np.uint64)
-                at = np.searchsorted(exclude_pairs, pk)
-                at = np.minimum(at, max(len(exclude_pairs) - 1, 0))
-                known = (exclude_pairs[at] == pk) if len(exclude_pairs) \
-                    else np.zeros(len(pk), bool)
-                qpos, dpos = qpos[~known], dpos[~known]
-                qpid, dpid = qpid[~known], dpid[~known]
-            if tol and len(qpos):
-                keep = _collapse_diag_runs(qpos, dpos, qpid, dpid, tol)
-                keep.sort()            # keep qpos ascending for slicing
-                qpos, dpos = qpos[keep], dpos[keep]
-                qpid, dpid = qpid[keep], dpid[keep]
-            query_local = qpid
-            six = np.empty((6, len(qpos)), np.int32)
-            for i, arr in enumerate((qpos, dpos, self.starts[qpid],
-                                     self.starts[qpid + 1],
-                                     self.starts[dpid],
-                                     self.starts[dpid + 1])):
-                six[i] = arr
+        six = six_parts[0] if len(six_parts) == 1 \
+            else np.concatenate(six_parts, axis=1)
+        query_local = ql_parts[0] if len(ql_parts) == 1 \
+            else np.concatenate(ql_parts)
+        dpid = dpid_parts[0] if len(dpid_parts) == 1 \
+            else np.concatenate(dpid_parts)
+        del six_parts, ql_parts, dpid_parts
         n_pairs = six.shape[1]
         profiling.add("align/probe", time.perf_counter() - _t0)
         if n_pairs == 0:

@@ -436,3 +436,39 @@ def test_info_from_ints_matches_char_loop(rng):
     want = "".join(a if a == b else ("+" if _pos_score(a, b) > 0 else " ")
                    for a, b in zip(qs, ds))
     assert got == want
+
+
+def test_search_all_probe_chunking_identical(rng):
+    """Tiny probe_chunk (forcing many protein-aligned slices) returns
+    exactly the unchunked hit set — the chunked probe exists to bound
+    the raw candidate arrays at IGC scale, not to change answers."""
+    import numpy as np
+    from hsearch_tpu.align import pipeline as ap
+
+    n, plen, n_fam = 60, 64, 15
+    seqs = []
+    for i in range(n):
+        base = np.random.default_rng(900 + i % n_fam).integers(
+            0, 20, plen)
+        s = base.copy()
+        pos = rng.choice(plen, 3, replace=False)
+        s[pos] = rng.integers(0, 20, 3)
+        seqs.append(s)
+
+    class DB:
+        names = [f"p{i}" for i in range(n)]
+        seq = np.concatenate(seqs).astype(np.int32)
+        starts = np.arange(n + 1, dtype=np.int64) * plen
+        num_proteins = n
+
+    groups = (np.arange(n) % 3).astype(np.int64)
+    order = np.argsort(groups, kind="stable")
+    key = lambda hs: sorted(
+        (h.query, h.subject, h.score, h.q_beg, h.d_beg) for h in hs)
+    big = ap.ProteinSearcher(DB(), ap.SearchParams(), subset=order,
+                             groups=groups[order]).search_all()
+    small = ap.ProteinSearcher(DB(), ap.SearchParams(probe_chunk=61),
+                               subset=order,
+                               groups=groups[order]).search_all()
+    assert key(big) == key(small)
+    assert len(big) > 0
