@@ -903,10 +903,17 @@ class ProteinSearcher:
                     sdev, sdev, jnp.asarray(packed), drop,
                     seed_index.SEED_LEN)
             pending.append((r, n_real))
-        for r, n_real in pending:
+        del six                    # dead after packing — 24 B/pair
+        pending.reverse()          # pop() from the tail, FIFO order
+        while pending:
+            r, n_real = pending.pop()
             arr = np.asarray(r)            # ONE (8, B) transfer per batch
+            # copy each field row out so the (8, B) staging buffer and
+            # the device result free per batch — keeping views pinned
+            # every batch's full buffer until the final concatenate
+            # (the 4e6-protein harvest OOMed on exactly that)
             for i, k in enumerate(extend.PACK_KEYS):
-                res[k].append(arr[i, :n_real])
+                res[k].append(arr[i, :n_real].copy())
         res = {k: np.concatenate(v) for k, v in res.items()}
         profiling.add("align/extend", time.perf_counter() - _t0)
 
