@@ -495,7 +495,11 @@ def probe(index: SeedIndex, qcodes: jax.Array, qgrp10: jax.Array,
     pos = lo[..., None] + offs                       # (Q, P, M)
     sel = offs < count[..., None]
     pos = jnp.where(sel, pos, 0)
-    ids = jnp.take(index.positions, pos, axis=0)
+    # positions is int64 (shared with the host view, which needs the range
+    # at 2.47B-AA scale); this oracle documents int32 candidates and its
+    # device callers never index past 2^31, so cast the gather — without
+    # this, x64 mode silently doubles the (Q, P*cand_max) slab
+    ids = jnp.take(index.positions, pos, axis=0).astype(jnp.int32)
     # 4th-suffix-residue filter
     s = index.seq.shape[0]
     if index.g10_at is not None:

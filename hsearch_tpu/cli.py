@@ -281,6 +281,16 @@ def cmd_hclust2(args):
         order = np.argsort(lab, kind="stable")
         sl = lab[order]
         groups = np.split(order, np.nonzero(sl[1:] != sl[:-1])[0] + 1)
+        # hclust2 blocks list the cluster head first (hclust2.cpp:137-150);
+        # the stable label argsort yields ascending row order, so rotate
+        # each group's head row (== its label) to the front
+        for grp in groups:
+            head = np.nonzero(grp == lab[grp[0]])[0]
+            if head.size and head[0] != 0:
+                h = int(head[0])
+                hv = grp[h]
+                grp[1:h + 1] = grp[:h].copy()
+                grp[0] = hv
     else:
         groups = res.clusters()
     # member lines are the k-mer sequences: the post-processing tools read

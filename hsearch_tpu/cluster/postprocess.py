@@ -88,6 +88,8 @@ def merge_by_center_distance(kmers: np.ndarray, labels: np.ndarray,
     for heads).  Returns new labels in the same convention (every
     component is relabeled to its smallest head).
     """
+    import warnings
+
     from ..search import ivf
     from . import union_find
 
@@ -97,9 +99,35 @@ def merge_by_center_distance(kmers: np.ndarray, labels: np.ndarray,
         return labels.copy()
     centers = np.ascontiguousarray(kmers[heads]).astype(np.int32)
     index = ivf.build_index(centers, key, block_size=32)
-    ci, ki, _ = ivf.search(index, centers, merge_radius,
-                           k_blocks=k_blocks, max_hits=max_hits,
-                           retry_overflow=False, stats_out={})
+    # over_hits = centers whose within-radius edge list was truncated at
+    # max_hits — those are REAL dropped merge edges, so escalate the hit
+    # cap until clean (each retry only re-runs the whole search; the edge
+    # arrays stay O(hits)).  over_blocks = centers whose unprunable block
+    # set exceeded k_blocks (possible misses); escalating kb toward
+    # num_blocks approaches brute force, so it is reported, not chased —
+    # union-find only needs ONE surviving edge per cluster pair, which is
+    # why the measured merge recall (0.967 at 2^20/785k centers, BENCH_NOTES
+    # r4) holds far above the per-center block-coverage rate.
+    stats: dict = {}
+    for _ in range(4):
+        stats.clear()
+        ci, ki, _ = ivf.search(index, centers, merge_radius,
+                               k_blocks=k_blocks, max_hits=max_hits,
+                               retry_overflow=False, stats_out=stats)
+        if not stats.get("over_hits"):
+            break
+        max_hits *= 2
+    if stats.get("over_hits"):
+        warnings.warn(
+            f"merge_by_center_distance: {stats['over_hits']} centers still "
+            f"exceed max_hits={max_hits} after escalation; some merge edges "
+            "were dropped (clusters may stay fragmented)")
+    if stats.get("over_blocks"):
+        warnings.warn(
+            f"merge_by_center_distance: {stats['over_blocks']}/{len(heads)} "
+            f"centers had more than k_blocks={k_blocks} unprunable blocks; "
+            "raise k_blocks (or --merge-k-blocks) if merged clusters look "
+            "fragmented")
     comp = union_find.connected_components(len(heads), ci, ki)
     # relabel each component to its smallest head row index (stable
     # argsort + sorted heads => starts picks each component's minimum)
