@@ -82,6 +82,7 @@ def child_main(pid, nproc, port, n, tables):
                               pcluster.DEFAULT_BITS))
     sigma = float(os.environ.get("HSEARCH_KLSH_SIGMA",
                                  pcluster.DEFAULT_SIGMA))
+    stream = bool(int(os.environ.get("HSEARCH_STREAM", "0")))
     if nproc > 1:
         jax.distributed.initialize(
             coordinator_address=f"127.0.0.1:{port}",
@@ -90,19 +91,40 @@ def child_main(pid, nproc, port, n, tables):
     db = _DB(seqs)
     del seqs
     t0 = time.perf_counter()
+    n_stream_hits = 0
     if nproc > 1:
         res = pcluster_dist.cluster_proteins_distributed(
             db, jax.random.PRNGKey(0), tables=tables, bits=bits,
             sigma=sigma)
+    elif stream:
+        # corpus-scale operating point: hits stream through a counting
+        # sink (union edges taken as they pass), strings unrendered —
+        # the per-child working set stays O(slice + index)
+        def _count(chunk_hits):
+            nonlocal n_stream_hits
+            n_stream_hits += len(chunk_hits)
+
+        res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0),
+                                        tables=tables, bits=bits,
+                                        sigma=sigma, hit_sink=_count,
+                                        render=False)
     else:
         res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0),
                                         tables=tables, bits=bits,
                                         sigma=sigma)
     wall = time.perf_counter() - t0
+    try:
+        import resource
+        peak_gb = round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+    except Exception:
+        peak_gb = None
     out = {"bench": "cluster_proteins_mp", "proteins": n,
            "nproc": nproc, "pid": pid, "tables": tables,
-           "bits": bits, "sigma": sigma,
-           "local_hits": len(res.hits), "total_s": round(wall, 2),
+           "bits": bits, "sigma": sigma, "stream": stream,
+           "peak_rss_gb": peak_gb,
+           "local_hits": n_stream_hits if stream and nproc == 1
+           else len(res.hits), "total_s": round(wall, 2),
            "proteins_per_s": round(n / wall, 1)}
     if pid == 0:
         out["clusters"] = len(set(res.labels.tolist()))

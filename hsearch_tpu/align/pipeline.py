@@ -46,12 +46,20 @@ class SearchParams:
     cand_max: int = 256               # per-probe candidate cap (device)
     pair_batch: int = 8192            # extension lanes per device call
     collapse_runs: int = 6            # seed-run collapse tolerance (0=off)
-    probe_chunk: int = 1 << 24        # query positions per probe slice:
-                                      # bounds the RAW candidate arrays
-                                      # (16 B each pre-collapse; one
-                                      # whole-corpus probe OOMed at 4e6
-                                      # proteins in the giant-group
-                                      # regime)
+    probe_chunk: int = 1 << 24        # query RESIDUES per host-codes
+                                      # chunk: bounds the per-chunk seed
+                                      # code/validity arrays (~14 B per
+                                      # residue)
+    pair_budget: int = 1 << 26        # capped raw CANDIDATES per probe
+                                      # slice (measured per position
+                                      # from the index's bucket sizes,
+                                      # ADVICE r4 #4): bounds the raw
+                                      # (rows, dpos) arrays at 16 B
+                                      # each and everything downstream
+                                      # of one slice — a position-count
+                                      # chunk alone let hot buckets
+                                      # reach ~4.3e9 pairs (~68 GB) in
+                                      # the giant-group regime
 
 
 def _collapse_diag_runs(qpos, dpos, qpid, dpid, tol: int):
@@ -496,7 +504,8 @@ class ProteinSearcher:
                 h.info = ibuf[a:b].decode()
             start = stop
 
-    def _assemble_all(self, query_local: np.ndarray, res, dpid):
+    def _assemble_all(self, query_local: np.ndarray, res, dpid,
+                      render: bool = True):
         """Batched CalRes over every query's pairs at once.
 
         The gates, e-values, extent dedup, and rank orders are one
@@ -631,7 +640,8 @@ class ProteinSearcher:
                 out.extend(self._finalize_query_hits(hits, st, qseq,
                                                      render=False))
             out.extend(out_simple[prev:])
-        self._render_strings_all(out)     # one pass over every survivor
+        if render:
+            self._render_strings_all(out)  # one pass over every survivor
         return out
 
     def _sum_evalue(self, group: list[Hit],
@@ -691,17 +701,113 @@ class ProteinSearcher:
             stat = self.stat_for_local(int(sel[0])) if sel.size else None
         return self._assemble(query_idx, qseq, res, subj, stat=stat)
 
+    def _prep_slice(self, rows, dpos, qidx_c, exclude_pairs, tol: int):
+        """probe pairs -> (six, query_local, dpid) packed extension
+        layout for one probe slice (native fused pass with the numpy
+        twin as fallback/oracle)."""
+        prep = native_ext.pair_prep(rows, dpos, qidx_c, self.starts,
+                                    self.ids, exclude_pairs, tol)
+        if prep is not None:
+            # one fused parallel pass: pid lookups, SEED_LEN +
+            # exclude filters, diag-run collapse, packed extension
+            # layout — the numpy chain below ran ~8 separate passes
+            # over ~50M pairs/table at 1e5 proteins
+            six_c, pids_arr = prep
+            return six_c, pids_arr[0], pids_arr[1]
+        qpos = qidx_c[rows]
+        # subjects need the full 10-residue seed
+        # (hash_search.cpp:538-540); pairs arrive (qpos, dpos)-sorted
+        # and duplicate-free from the single-probe ragged pass
+        dpid_c = native_ext.searchsorted_right(self.starts, dpos) - 1
+        ok = self.starts[dpid_c + 1] - dpos >= seed_index.SEED_LEN
+        qpos, dpos, dpid_c = qpos[ok], dpos[ok], dpid_c[ok]
+        qpid = native_ext.searchsorted_right(self.starts, qpos) - 1
+        if exclude_pairs is not None and len(qpos):
+            pk = (self.ids[qpid].astype(np.uint64) << np.uint64(32)) \
+                | self.ids[dpid_c].astype(np.uint64)
+            at = np.searchsorted(exclude_pairs, pk)
+            at = np.minimum(at, max(len(exclude_pairs) - 1, 0))
+            known = (exclude_pairs[at] == pk) if len(exclude_pairs) \
+                else np.zeros(len(pk), bool)
+            qpos, dpos = qpos[~known], dpos[~known]
+            qpid, dpid_c = qpid[~known], dpid_c[~known]
+        if tol and len(qpos):
+            keep = _collapse_diag_runs(qpos, dpos, qpid, dpid_c, tol)
+            keep.sort()    # keep qpos ascending for slicing
+            qpos, dpos = qpos[keep], dpos[keep]
+            qpid, dpid_c = qpid[keep], dpid_c[keep]
+        six_c = np.empty((6, len(qpos)), np.int32)
+        for i, arr in enumerate((qpos, dpos, self.starts[qpid],
+                                 self.starts[qpid + 1],
+                                 self.starts[dpid_c],
+                                 self.starts[dpid_c + 1])):
+            six_c[i] = arr
+        return six_c, qpid, dpid_c
+
+    def _extend_stream(self, six: np.ndarray) -> dict:
+        """Batched device extension of one packed slice: dispatch every
+        batch first (async), then harvest — batch i's device->host
+        result transfer overlaps batch i+1's compute (on a remote-TPU
+        link the per-call transfer tail was most of the extend stage).
+        Uses the window-dense kernel when every extension fits a bounded
+        window (the chunked while_loop kernel measured gather-bound on
+        TPU: ~147 ms per 8192-lane call vs ~ms dense)."""
+        p = self.params
+        n_pairs = six.shape[1]
+        drop = jnp.int32(int(self.cutoffs.ungap_ext_drop))
+        sdev = self._seq_dev      # length-grid padded: shared programs
+        windowed = self._win <= 512
+        res = {k: [] for k in extend.PACK_KEYS}
+        pending = []
+        for s in range(0, n_pairs, p.pair_batch):
+            if s and s % (64 * p.pair_batch) == 0:
+                profiling.heartbeat(
+                    f"search_all: {s}/{n_pairs} slice pairs dispatched")
+            n_real = min(p.pair_batch, n_pairs - s)
+            packed = np.zeros((6, p.pair_batch), np.int32)
+            packed[:, :n_real] = six[:, s:s + n_real]
+            if windowed:
+                r = extend.extend_pairs_windowed(
+                    sdev, sdev, jnp.asarray(packed), drop,
+                    seed_index.SEED_LEN, win_pre=self._win,
+                    win_post=self._win)
+            else:
+                r = extend.extend_pairs_packed(
+                    sdev, sdev, jnp.asarray(packed), drop,
+                    seed_index.SEED_LEN)
+            pending.append((r, n_real))
+        pending.reverse()          # pop() from the tail, FIFO order
+        while pending:
+            r, n_real = pending.pop()
+            arr = np.asarray(r)            # ONE (8, B) transfer per batch
+            # copy each field row out so the (8, B) staging buffer and
+            # the device result free per batch — keeping views pinned
+            # every batch's full buffer until the final concatenate
+            # (the 4e6-protein harvest OOMed on exactly that)
+            for i, k in enumerate(extend.PACK_KEYS):
+                res[k].append(arr[i, :n_real].copy())
+        return {k: np.concatenate(v) if v else np.zeros(0, np.int64)
+                for k, v in res.items()}
+
     def search_all(self, batched: bool = True,
                    exclude_pairs: np.ndarray | None = None,
-                   query_rows: np.ndarray | None = None) -> list[Hit]:
+                   query_rows: np.ndarray | None = None,
+                   hit_sink=None, render: bool = True) -> list[Hit]:
         """Every indexed protein as query (ProteinSearching,
         hash_search.cpp:263-289).
 
-        batched=True streams ALL queries' seed pairs through one shared
-        extension pipeline (queries and subjects are the same concatenated
-        array, so pair positions are global offsets) — one device stream
-        per group instead of per-protein calls.  Results are identical to
-        the per-query path; assembly stays per query.
+        batched=True STREAMS the whole pipeline per bounded query slice:
+        seed codes, the ragged probe, pair prep, device extension, and
+        assembly all run inside one slice before the next begins, so
+        nothing O(corpus positions) or O(total pairs) is ever staged —
+        the working set is O(slice) + the index (the structural
+        9.9M-protein OOM: a full-corpus probe carried ~N^2/G pair
+        arrays plus ~20 GB of corpus-wide code/validity tables).
+        Slices cut at protein boundaries on a measured CANDIDATE budget
+        (``SearchParams.pair_budget``; bucket sizes read from the index
+        before each probe), so hit sets are concatenation-identical to
+        the unchunked pipeline and per-query assembly never splits.
+        Results are identical to the per-query path.
 
         exclude_pairs: optional SORTED uint64 array of directional
         ``(global_query_id << 32) | global_subject_id`` keys whose seed
@@ -716,11 +822,21 @@ class ProteinSearcher:
         full hit set partitions exactly by query: the distributed
         pipeline gives each process a query slice of one shared searcher
         (batched path only).
+
+        hit_sink: optional callable(list[Hit]) — invoked once per slice
+        with that slice's finalized hits IN ORDER (concatenating the
+        calls reproduces the returned list exactly); when set,
+        search_all returns [] and holds no hits, so corpus-scale runs
+        can spill hits as they stream (batched path only).
+
+        render=False skips the aligned-string/match-line rendering
+        (q_aln/d_aln/info stay ""); every numeric m8 field is unchanged.
         """
         if not batched:
-            if exclude_pairs is not None or query_rows is not None:
-                raise ValueError(
-                    "exclude_pairs/query_rows require batched=True")
+            if exclude_pairs is not None or query_rows is not None \
+                    or hit_sink is not None or not render:
+                raise ValueError("exclude_pairs/query_rows/hit_sink/"
+                                 "render require batched=True")
             out = []
             for local, gid in enumerate(self.ids):
                 qseq = self.seq[self.starts[local]:self.starts[local + 1]]
@@ -730,200 +846,118 @@ class ProteinSearcher:
                                                 group=grp))
             return out
 
-        # 1. one ragged host probe over the whole concatenated sequence:
-        # every protein's seed positions probe the shared index together.
-        # O(candidates) work/memory — the former device probe staged a
-        # (32768, cand_max) slab per chunk that measured ~97% empty and
-        # whose host conversion + nonzero dominated the probe stage
         s_total = len(self.seq)
+        out_all: list[Hit] = []
         if s_total < seed_index.SEED_LEN:
-            return []
-        _t0 = time.perf_counter()
-        code, _, valid10, qgrp10_all = seed_index.host_codes(
-            self.seq, self.starts)
-        qidx = np.nonzero(valid10)[0]
-        del valid10
+            return out_all
+        p = self.params
+        tol = int(p.collapse_runs or 0)
         plens = np.diff(self.starts)
+        n_prot = len(self.ids)
+        qr = None
         if query_rows is not None:
-            # restrict probing positions to the query slice's proteins
-            # (per-position owner via one bool repeat — the former
-            # int64 searchsorted allocated 2 total-size arrays, part of
-            # the 9.9M-protein probe-phase OOM)
-            qr = np.zeros(len(self.ids), bool)
+            qr = np.zeros(n_prot, bool)
             qr[np.asarray(query_rows)] = True
-            qr_at = np.repeat(qr, plens)
-            qidx = qidx[qr_at[qidx]]
-            del qr_at
-        qgroups = None
-        if self.groups is not None:
-            # group of the protein owning each probing position
-            g_at = np.repeat(self.groups.astype(np.int32), plens)
-            qgroups = g_at[qidx]
-            del g_at
-        # probe + pair-prep run CHUNKED over query-position slices, cut
-        # at protein boundaries: one whole-corpus probe allocated the
-        # RAW candidate (rows, dpos) arrays at once — 16 B per
-        # pre-collapse candidate, and in the giant-group regime raw
-        # candidates grow ~N x bucket-size (measured: the 4e6-protein
-        # run OOMed at 64 GB/child here).  Per-chunk raw pairs are
-        # bounded; only the post-filter/post-collapse packed layout
-        # (far smaller: family diagonals collapse to single entries)
-        # is kept.  Chunks never split one protein's positions, so
-        # diag-run collapse sees exactly the runs it saw unchunked —
-        # outputs are concatenation-identical.
-        tol = int(self.params.collapse_runs or 0)
         n_over = 0
-        six_parts, ql_parts, dpid_parts = [], [], []
-        chunk_target = int(self.params.probe_chunk)
-        i0 = 0
-        while i0 < len(qidx):
-            j = min(i0 + chunk_target, len(qidx))
-            if j < len(qidx):
-                # extend to the owning protein's end (qidx ascending)
-                pid_last = int(np.searchsorted(
-                    self.starts, int(qidx[j - 1]), side="right")) - 1
-                j = int(np.searchsorted(
-                    qidx, int(self.starts[pid_last + 1]), side="left"))
-                j = max(j, i0 + 1)
-            qidx_c = qidx[i0:j]
-            qg_c = None if qgroups is None else qgroups[i0:j]
-            rows, dpos, n_ov = seed_index.probe_host(
-                self._hview, code[qidx_c], qgrp10_all[qidx_c],
-                self.params.cand_max, qgroups=qg_c)
-            n_over += n_ov
-            i0 = j
-            if rows.size == 0:
+        pairs_done = 0
+        chunk_aa = int(p.probe_chunk)
+        cand_budget = max(int(p.pair_budget), 1)
+        p0 = 0
+        while p0 < n_prot:
+            # protein range holding ~chunk_aa residues (>= 1 protein)
+            p1 = int(np.searchsorted(self.starts,
+                                     int(self.starts[p0]) + chunk_aa,
+                                     side="left"))
+            p1 = min(max(p1, p0 + 1), n_prot)
+            if qr is not None and not qr[p0:p1].any():
+                p0 = p1
                 continue
-            prep = native_ext.pair_prep(rows, dpos, qidx_c, self.starts,
-                                        self.ids, exclude_pairs, tol)
-            if prep is not None:
-                # one fused parallel pass: pid lookups, SEED_LEN +
-                # exclude filters, diag-run collapse, packed extension
-                # layout — the numpy chain below ran ~8 separate passes
-                # over ~50M pairs/table at 1e5 proteins
-                six_c, pids_arr = prep
-                del rows, dpos      # 16 B/pair — dead once packed
-                ql_c = pids_arr[0]
-                dpid_c = pids_arr[1]
-            else:
-                qpos = qidx_c[rows]
-                # subjects need the full 10-residue seed
-                # (hash_search.cpp:538-540); pairs arrive
-                # (qpos, dpos)-sorted and duplicate-free from the
-                # single-probe ragged pass
-                dpid_c = native_ext.searchsorted_right(
-                    self.starts, dpos) - 1
-                ok = self.starts[dpid_c + 1] - dpos \
-                    >= seed_index.SEED_LEN
-                qpos, dpos, dpid_c = qpos[ok], dpos[ok], dpid_c[ok]
-                qpid = native_ext.searchsorted_right(
-                    self.starts, qpos) - 1
-                if exclude_pairs is not None and len(qpos):
-                    pk = (self.ids[qpid].astype(np.uint64)
-                          << np.uint64(32)) \
-                        | self.ids[dpid_c].astype(np.uint64)
-                    at = np.searchsorted(exclude_pairs, pk)
-                    at = np.minimum(at, max(len(exclude_pairs) - 1, 0))
-                    known = (exclude_pairs[at] == pk) \
-                        if len(exclude_pairs) \
-                        else np.zeros(len(pk), bool)
-                    qpos, dpos = qpos[~known], dpos[~known]
-                    qpid, dpid_c = qpid[~known], dpid_c[~known]
-                if tol and len(qpos):
-                    keep = _collapse_diag_runs(qpos, dpos, qpid,
-                                               dpid_c, tol)
-                    keep.sort()    # keep qpos ascending for slicing
-                    qpos, dpos = qpos[keep], dpos[keep]
-                    qpid, dpid_c = qpid[keep], dpid_c[keep]
-                ql_c = qpid
-                six_c = np.empty((6, len(qpos)), np.int32)
-                for i, arr in enumerate((qpos, dpos, self.starts[qpid],
-                                         self.starts[qpid + 1],
-                                         self.starts[dpid_c],
-                                         self.starts[dpid_c + 1])):
-                    six_c[i] = arr
-            if six_c.shape[1]:
-                six_parts.append(six_c)
-                ql_parts.append(ql_c)
-                dpid_parts.append(dpid_c)
-        del code, qgrp10_all, qgroups
+            _t0 = time.perf_counter()
+            s0, s1 = int(self.starts[p0]), int(self.starts[p1])
+            sub_starts = np.ascontiguousarray(self.starts[p0:p1 + 1]) - s0
+            # per-chunk seed codes: the corpus-wide tables (code,
+            # validity, qgrp10, qidx — ~34 B/residue) were the other
+            # structural term of the 9.9M working set
+            code_c, _, valid10_c, qgrp10_c = seed_index.host_codes(
+                self.seq[s0:s1], sub_starts)
+            qidx_c = np.nonzero(valid10_c)[0]
+            del valid10_c
+            if qr is not None:
+                qr_at = np.repeat(qr[p0:p1], plens[p0:p1])
+                qidx_c = qidx_c[qr_at[qidx_c]]
+                del qr_at
+            qgroups_c = None
+            if self.groups is not None:
+                g_at = np.repeat(self.groups[p0:p1].astype(np.int32),
+                                 plens[p0:p1])
+                qgroups_c = g_at[qidx_c].astype(np.int64)
+                del g_at
+            # candidate-budget probe slices, cut at protein boundaries
+            # (assembly is per query, so a query's pairs never split)
+            counts = seed_index.bucket_counts(
+                self._hview, code_c[qidx_c], p.cand_max,
+                qgroups=qgroups_c)
+            cum = np.cumsum(counts, dtype=np.int64)
+            del counts
+            profiling.add("align/probe", time.perf_counter() - _t0)
+            a = 0
+            while a < len(qidx_c):
+                _t0 = time.perf_counter()
+                base = int(cum[a - 1]) if a else 0
+                b = int(np.searchsorted(cum, base + cand_budget,
+                                        side="left")) + 1
+                b = min(b, len(qidx_c))
+                if b < len(qidx_c):
+                    # extend to the owning protein's end (ascending)
+                    pid_last = int(np.searchsorted(
+                        sub_starts, int(qidx_c[b - 1]),
+                        side="right")) - 1
+                    b = int(np.searchsorted(
+                        qidx_c, int(sub_starts[pid_last + 1]),
+                        side="left"))
+                    b = max(b, a + 1)
+                sl = slice(a, b)
+                rows, dpos, n_ov = seed_index.probe_host(
+                    self._hview, code_c[qidx_c[sl]],
+                    qgrp10_c[qidx_c[sl]], p.cand_max,
+                    qgroups=None if qgroups_c is None
+                    else qgroups_c[sl])
+                n_over += n_ov
+                six_c, ql_c, dpid_c = self._prep_slice(
+                    rows, dpos, qidx_c[sl].astype(np.int64) + s0,
+                    exclude_pairs, tol)
+                del rows, dpos      # 16 B/pair raw — dead once packed
+                a = b
+                profiling.add("align/probe", time.perf_counter() - _t0)
+                if not six_c.shape[1]:
+                    continue
+                _t0 = time.perf_counter()
+                res = self._extend_stream(six_c)
+                n_slice = six_c.shape[1]
+                del six_c
+                profiling.add("align/extend", time.perf_counter() - _t0)
+                _t0 = time.perf_counter()
+                out = self._assemble_all(ql_c, res, dpid_c,
+                                         render=render)
+                del res, ql_c, dpid_c
+                profiling.add("align/assemble",
+                              time.perf_counter() - _t0)
+                pairs_done += n_slice
+                profiling.heartbeat(
+                    f"search_all: {pairs_done} pairs extended through "
+                    f"protein {p1}/{n_prot}, +{len(out)} hits")
+                if hit_sink is not None:
+                    hit_sink(out)
+                else:
+                    out_all.extend(out)
+            del code_c, qgrp10_c, qidx_c, qgroups_c, cum
+            p0 = p1
         if n_over:
             import warnings
             warnings.warn(
                 f"{n_over} seed buckets exceeded cand_max="
                 f"{self.params.cand_max}; raise SearchParams.cand_max")
-        if not six_parts:
-            profiling.add("align/probe", time.perf_counter() - _t0)
-            return []
-        six = six_parts[0] if len(six_parts) == 1 \
-            else np.concatenate(six_parts, axis=1)
-        query_local = ql_parts[0] if len(ql_parts) == 1 \
-            else np.concatenate(ql_parts)
-        dpid = dpid_parts[0] if len(dpid_parts) == 1 \
-            else np.concatenate(dpid_parts)
-        del six_parts, ql_parts, dpid_parts
-        n_pairs = six.shape[1]
-        profiling.add("align/probe", time.perf_counter() - _t0)
-        if n_pairs == 0:
-            return []
-
-        # 2. one batched extension stream over the shared array
-        _t0 = time.perf_counter()
-        p = self.params
-        drop = jnp.int32(int(self.cutoffs.ungap_ext_drop))
-        sdev = self._seq_dev      # length-grid padded: shared programs
-        res = {k: [] for k in ("score", "match", "gate_score", "gate_match",
-                               "q_beg", "q_end", "d_beg", "d_end")}
-        profiling.heartbeat(
-            f"search_all: extending {n_pairs} seed pairs "
-            f"({-(-n_pairs // p.pair_batch)} batches)")
-        # dispatch every batch first (async), then harvest: the
-        # device->host result transfers of batch i overlap batch i+1's
-        # compute — on a remote-TPU link the per-call transfer tail was
-        # most of the extend stage (ivf.search's two-pass pattern)
-        # window-dense kernel when every extension fits a bounded
-        # window (the chunked while_loop kernel measured gather-bound
-        # on TPU: ~147 ms per 8192-lane call vs ~ms dense)
-        windowed = self._win <= 512
-        pending = []
-        for s in range(0, n_pairs, p.pair_batch):
-            if s and s % (64 * p.pair_batch) == 0:
-                profiling.heartbeat(
-                    f"search_all: {s}/{n_pairs} pairs dispatched")
-            n_real = min(p.pair_batch, n_pairs - s)
-            packed = np.zeros((6, p.pair_batch), np.int32)
-            packed[:, :n_real] = six[:, s:s + n_real]
-            if windowed:
-                r = extend.extend_pairs_windowed(
-                    sdev, sdev, jnp.asarray(packed), drop,
-                    seed_index.SEED_LEN, win_pre=self._win,
-                    win_post=self._win)
-            else:
-                r = extend.extend_pairs_packed(
-                    sdev, sdev, jnp.asarray(packed), drop,
-                    seed_index.SEED_LEN)
-            pending.append((r, n_real))
-        del six                    # dead after packing — 24 B/pair
-        pending.reverse()          # pop() from the tail, FIFO order
-        while pending:
-            r, n_real = pending.pop()
-            arr = np.asarray(r)            # ONE (8, B) transfer per batch
-            # copy each field row out so the (8, B) staging buffer and
-            # the device result free per batch — keeping views pinned
-            # every batch's full buffer until the final concatenate
-            # (the 4e6-protein harvest OOMed on exactly that)
-            for i, k in enumerate(extend.PACK_KEYS):
-                res[k].append(arr[i, :n_real].copy())
-        res = {k: np.concatenate(v) for k, v in res.items()}
-        profiling.add("align/extend", time.perf_counter() - _t0)
-
-        # 3. batched assembly: gates, e-values, dedup, and rank orders
-        # in one vector pass over every query's pairs (_assemble_all);
-        # only Hit construction / SumEvalue / strings stay per query
-        _t0 = time.perf_counter()
-        out = self._assemble_all(query_local, res, dpid)
-        profiling.add("align/assemble", time.perf_counter() - _t0)
-        return out
+        return out_all
 
 
 def refine_gapped(searcher: ProteinSearcher, qseq: np.ndarray,

@@ -297,6 +297,38 @@ def probe_host(view: HostSeedView, qcodes: np.ndarray, qgrp10: np.ndarray,
     return rows[ok], ids[ok], n_over
 
 
+def bucket_counts(view: HostSeedView, qcodes: np.ndarray,
+                  cand_max: int,
+                  qgroups: np.ndarray | None = None) -> np.ndarray:
+    """Capped (pre-g10-filter) bucket size per probe position.
+
+    Two parallel binary searches per position — the cheap estimate the
+    pipeline uses to cut probe slices on a cumulative CANDIDATE budget
+    instead of a position count (a position-count chunk bounds nothing
+    when buckets run hot; ADVICE r4 #4).  An upper bound on what
+    ``probe_host`` returns for the same positions (the g10 filter only
+    removes candidates).
+    """
+    if view.grouped != (qgroups is not None):
+        raise ValueError("qgroups must be given exactly when the index "
+                         "is group-partitioned")
+    q = np.asarray(qcodes).astype(np.uint32)
+    if view.grouped:
+        qk = (np.asarray(qgroups).astype(np.uint64) << np.uint64(32)) \
+            | q.astype(np.uint64)
+    else:
+        qk = q.astype(np.uint64)
+    # int64 bit patterns order like the uint64 keys: codes < 2^32 and
+    # composite keys carry group < 2^31, so the sign bit is never set;
+    # qk - 1 turns side="left" into the native side="right" search
+    # (integer keys), with qk=0 wrapping to -1 < every key
+    keys = view.keys64.view(np.int64)
+    hi = native_ext.searchsorted_right(keys, qk.view(np.int64))
+    lo = native_ext.searchsorted_right(keys, (qk - np.uint64(1))
+                                       .view(np.int64))
+    return np.minimum(hi - lo, cand_max)
+
+
 def g10_table(seq: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """(S,) int8: murphy10 group of the 4th suffix residue at each
     position, or _G10_PASS where that residue falls past the owning
@@ -358,16 +390,56 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
     else:
         pg = np.asarray(protein_groups)
         n_groups = int(pg.max()) + 1 if pg.size else 0
-        # per-position group id via repeat (no int64 searchsorted
-        # temporaries: at 1.19B positions the searchsorted path
-        # allocated 3 full-size int64 arrays)
-        g_at = np.repeat(pg.astype(np.int32), np.diff(starts))
-        g = g_at[pos]
-        del g_at
-        counts = np.bincount(g, minlength=n_groups)
+        sorted_pg = not pg.size or bool((np.diff(pg) >= 0).all())
+        if sorted_pg:
+            # proteins arrive grouped (the pipeline concatenates its
+            # group lists), so valid positions are already
+            # (group, position)-contiguous: per-group slices follow from
+            # per-protein valid-seed counts — no per-position group id
+            # array (4.7 + 4.4 GB at 9.9M proteins) is ever built
+            pcnt = np.diff(np.searchsorted(pos, starts.astype(pos.dtype)))
+            counts = np.bincount(pg, weights=pcnt.astype(np.float64),
+                                 minlength=n_groups).astype(np.int64)
+            del pcnt
+            g = None
+        else:
+            # per-position group id via repeat (no int64 searchsorted
+            # temporaries: at 1.19B positions the searchsorted path
+            # allocated 3 full-size int64 arrays)
+            g_at = np.repeat(pg.astype(np.int32), np.diff(starts))
+            g = g_at[pos]
+            del g_at
+            counts = np.bincount(g, minlength=n_groups)
         gs64 = np.concatenate([[0], np.cumsum(counts)])
         gs = gs64.astype(np.int32)
-        if n_groups <= _SEGMENTED_SORT_MAX_GROUPS:
+        if sorted_pg and n_groups <= _SEGMENTED_SORT_MAX_GROUPS:
+            # contiguous-slice segmented sort: same stable (group, code)
+            # order as the selection path below, with the u32/i32 radix
+            # (16 B/element of temporaries vs 32, and no widened key
+            # copy) and in-place composite-key assembly — the variant
+            # that lets one process build the 9.9M-protein giant-group
+            # index inside the 125 GB box
+            view_keys = np.empty(len(c), np.uint64)
+            c_sorted = np.empty(len(c), np.uint32)
+            pos_sorted = np.empty(len(c), np.int32)
+            for gi in range(n_groups):
+                lo, hi = int(gs64[gi]), int(gs64[gi + 1])
+                if hi == lo:
+                    continue
+                cg = c[lo:hi]
+                if hi - lo < (1 << 31):
+                    og = native_ext.argsort_u32(cg)
+                else:
+                    og = native_ext.argsort_u64(cg.astype(np.uint64))
+                c_sorted[lo:hi] = cg[og]
+                # buffered-cast assignment + in-place or: no full-width
+                # uint64 temporary of the segment
+                view_keys[lo:hi] = c_sorted[lo:hi]
+                view_keys[lo:hi] |= np.uint64(gi) << np.uint64(32)
+                pos_sorted[lo:hi] = pos[lo:hi][og]
+                del cg, og
+            del c, pos
+        elif n_groups <= _SEGMENTED_SORT_MAX_GROUPS:
             # segmented per-group sort: the one-shot composite radix
             # peaks at ~56 B/position of temporaries (key + order +
             # the native radix's 4 full-size buffers) — 65 GB at 1.19B
@@ -399,6 +471,9 @@ def build_index_and_view(seq: np.ndarray, starts: np.ndarray,
             # positions — this sort dominates per-table index build at
             # 1e6 proteins.  (Many-small-groups regime: a per-group
             # loop would pay n_groups full passes over g.)
+            if g is None:      # sorted_pg with many groups: counts
+                g = np.repeat(np.arange(n_groups, dtype=np.int32),
+                              counts)     # give the slice boundaries
             key = (g.astype(np.uint64) << np.uint64(32)) \
                 | c.astype(np.uint64)
             del g

@@ -180,7 +180,9 @@ def cluster_proteins(db, key: jax.Array,
                      bits: int = DEFAULT_BITS,
                      sigma: float = DEFAULT_SIGMA,
                      tables: int = 1,
-                     gapped: bool = False) -> ProteinClusters:
+                     gapped: bool = False,
+                     hit_sink=None,
+                     render: bool = True) -> ProteinClusters:
     """Full pcluster pipeline over a ProteinDB.
 
     tables=1 matches the reference (one 16-bit code per protein,
@@ -199,7 +201,17 @@ def cluster_proteins(db, key: jax.Array,
     gapped=True re-aligns gap-triggered hits with the banded gapped
     aligner under the SAME group statistics, so refined and unrefined
     hits stay on one e-value scale (ADVICE r1 #3).
+
+    hit_sink: optional callable(list[Hit]) — hits stream to it per
+    search slice (and union edges / cross-table dedup keys are taken as
+    they stream) instead of accumulating in ``ProteinClusters.hits``,
+    so corpus-scale runs hold O(slice) hits; ``hits`` comes back empty.
+    Incompatible with gapped=True (refinement needs the per-query hit
+    groups resident).  render=False skips aligned-string rendering
+    (numeric fields unchanged) — the big-corpus operating point.
     """
+    if hit_sink is not None and gapped:
+        raise ValueError("hit_sink requires gapped=False")
     profiling.heartbeat(
         f"cluster_proteins: histograms over {db.num_proteins} proteins")
     uf = union_find.UnionFind(db.num_proteins)
@@ -230,8 +242,31 @@ def cluster_proteins(db, key: jax.Array,
             "index + align")
         searcher = align_pipeline.ProteinSearcher(
             db, params, subset=subset, groups=group_of)
+        if hit_sink is not None:
+            # streaming mode: take union edges and dedup keys per slice,
+            # forward the hits, keep nothing resident
+            key_parts: list[np.ndarray] = []
+
+            def _sink(chunk_hits, _parts=key_parts):
+                for h in chunk_hits:
+                    if h.query != h.subject \
+                            and h.evalue <= cluster_evalue:
+                        uf.union(h.query, h.subject)
+                if tables > 1:
+                    _parts.append(np.fromiter(
+                        ((int(h.query) << 32) | int(h.subject)
+                         for h in chunk_hits),
+                        np.uint64, len(chunk_hits)))
+                hit_sink(chunk_hits)
+
+            searcher.search_all(exclude_pairs=hit_pairs if t else None,
+                                hit_sink=_sink, render=render)
+            if tables > 1:
+                hit_pairs = np.sort(np.concatenate(
+                    [hit_pairs, *key_parts]))
+            continue
         hits = searcher.search_all(
-            exclude_pairs=hit_pairs if t else None)
+            exclude_pairs=hit_pairs if t else None, render=render)
         profiling.heartbeat(
             f"cluster_proteins: table {t + 1}/{tables} — "
             f"{len(hits)} new hits")

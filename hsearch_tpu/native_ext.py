@@ -75,6 +75,10 @@ def _load():
     lib.hs_argsort_u64.argtypes = [
         np.ctypeslib.ndpointer(np.uint64), i64,
         np.ctypeslib.ndpointer(np.int64)]
+    lib.hs_argsort_u32.restype = None
+    lib.hs_argsort_u32.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32), i64,
+        np.ctypeslib.ndpointer(np.int32)]
     lib.hs_searchsorted_right.restype = None
     lib.hs_searchsorted_right.argtypes = [
         np.ctypeslib.ndpointer(np.int64), i64,
@@ -371,6 +375,24 @@ def argsort_u64(keys: np.ndarray) -> np.ndarray:
         return np.argsort(keys, kind="stable")
     order = np.empty(len(keys), np.int64)
     lib.hs_argsort_u64(keys, len(keys), order)
+    return order
+
+
+def argsort_u32(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of uint32 keys -> int32 order (n < 2^31).
+
+    Half the temporary footprint of ``argsort_u64`` (16 vs 32 B/element
+    inside the radix, plus no widened key copy) — the variant the
+    giant-group segmented index build uses, where one segment holds
+    ~1e9 codes.  Falls back to np.argsort(kind="stable")."""
+    keys = np.ascontiguousarray(keys, np.uint32)
+    if len(keys) >= (1 << 31):
+        raise ValueError("argsort_u32 requires n < 2^31")
+    lib = _load()
+    if lib is None:
+        return np.argsort(keys, kind="stable").astype(np.int32)
+    order = np.empty(len(keys), np.int32)
+    lib.hs_argsort_u32(keys, len(keys), order)
     return order
 
 

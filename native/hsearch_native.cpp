@@ -453,6 +453,86 @@ void hs_argsort_u64(const uint64_t* keys, int64_t n, int64_t* order) {
   radix_argsort_u64(keys, n, order);
 }
 
+// uint32-key / int32-index variant (n < 2^31): 4 byte passes instead of
+// 8 and half-width buffers — 16 B/element of internal temporaries vs the
+// u64 sort's 32.  The giant-group segmented index build sorts one
+// ~1e9-element segment at 9.9M proteins, where the width of these
+// buffers decides whether the build fits the box.
+static void radix_argsort_u32(const uint32_t* keys, int64_t n,
+                              int32_t* order) {
+  if (n == 0) return;
+  std::vector<uint32_t> kbuf(keys, keys + n), kalt(n);
+  std::vector<int32_t> ibuf(n), ialt(n);
+  std::iota(ibuf.begin(), ibuf.end(), (int32_t)0);
+  uint32_t* ksrc = kbuf.data();
+  uint32_t* kdst = kalt.data();
+  int32_t* isrc = ibuf.data();
+  int32_t* idst = ialt.data();
+  int nthreads = 1;
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+#pragma omp single
+    nthreads = omp_get_num_threads();
+  }
+#endif
+  const int64_t chunk = (n + nthreads - 1) / nthreads;
+  std::vector<int64_t> hist((size_t)nthreads * 256);
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = pass * 8;
+    std::fill(hist.begin(), hist.end(), 0);
+#pragma omp parallel num_threads(nthreads)
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t* h = hist.data() + (size_t)t * 256;
+      const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i)
+        ++h[(ksrc[i] >> shift) & 0xff];
+    }
+    bool uniform = false;
+    for (int d = 0; d < 256 && !uniform; ++d) {
+      int64_t tot = 0;
+      for (int t = 0; t < nthreads; ++t) tot += hist[(size_t)t * 256 + d];
+      uniform = tot == n;
+    }
+    if (uniform) continue;
+    int64_t run = 0;
+    for (int d = 0; d < 256; ++d)
+      for (int t = 0; t < nthreads; ++t) {
+        int64_t* slot = &hist[(size_t)t * 256 + d];
+        const int64_t c = *slot;
+        *slot = run;
+        run += c;
+      }
+#pragma omp parallel num_threads(nthreads)
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t* h = hist.data() + (size_t)t * 256;
+      const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t at = h[(ksrc[i] >> shift) & 0xff]++;
+        kdst[at] = ksrc[i];
+        idst[at] = isrc[i];
+      }
+    }
+    std::swap(ksrc, kdst);
+    std::swap(isrc, idst);
+  }
+  if (isrc != order) std::memcpy(order, isrc, (size_t)n * sizeof(int32_t));
+}
+
+void hs_argsort_u32(const uint32_t* keys, int64_t n, int32_t* order) {
+  radix_argsort_u32(keys, n, order);
+}
+
 // ---------------------------------------------------------------------------
 // Parallel searchsorted (side=right) over a sorted int64 array — the
 // protein-id-of-position lookups (searchsorted(starts, pos) - 1) run over
