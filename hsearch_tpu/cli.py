@@ -102,6 +102,39 @@ def cmd_motif_search(args):
     if args.engine == "exact":
         ci, ki, dd = exact.search_radius(dk, centers, args.radius,
                                          center_block=args.center_block)
+    elif args.engine == "stream":
+        # out-of-HBM segmented engine (search/stream.py): host-resident
+        # byte set, double-buffered streaming, optional device-resident
+        # prefix under a clamped --device-budget
+        from .search import stream
+        from .utils import checkpoint
+        if getattr(args, "index", None):
+            index = checkpoint.load_index(
+                args.index, device_budget_bytes=args.device_budget)
+            print(f"[segmented index reloaded: {index.n_points} points, "
+                  f"{index.num_segments} segments, resident "
+                  f"{index.resident_fraction():.2f}]", file=sys.stderr)
+        else:
+            index = stream.build_segmented(
+                dk, key, segment_points=args.segment_points,
+                block_size=args.block_size,
+                device_budget_bytes=args.device_budget)
+            if getattr(args, "save_index", None):
+                checkpoint.save_index(args.save_index, index)
+                print(f"[segmented index -> {args.save_index}]",
+                      file=sys.stderr)
+        stats: dict = {}
+        ci, ki, dd = stream.search_segmented(
+            index, centers, args.radius, k_blocks=args.k_blocks,
+            max_hits=args.max_hits, center_block=args.center_block,
+            retry_overflow=not args.no_retry,
+            stats_out=stats, pack_cap_frac=4)
+        if args.no_retry and (stats.get("over_blocks")
+                              or stats.get("over_hits")):
+            print(f"[--no-retry: {stats.get('over_blocks', 0)} "
+                  f"center-segment pairs over k-blocks, "
+                  f"{stats.get('over_hits', 0)} over max-hits]",
+                  file=sys.stderr)
     elif args.engine == "ivf":
         index = ivf.build_index(dk, key, block_size=args.block_size)
         k_blocks = args.k_blocks
@@ -537,6 +570,11 @@ def cmd_index_build(args):
     key = jax.random.PRNGKey(args.seed)
     if args.engine == "ivf":
         index = ivf.build_index(dk, key, block_size=args.block_size)
+    elif args.engine == "stream":
+        from .search import stream
+        index = stream.build_segmented(
+            dk, key, segment_points=args.segment_points,
+            block_size=args.block_size)
     else:
         cfg = motif.MotifSearchConfig(hash_k=args.hash_k,
                                       hash_l=args.hash_l, w=args.width)
@@ -639,8 +677,21 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-l", "--kmer-len", type=int, default=25)
     q.add_argument("-o", "--output", required=True)
     q.add_argument("-g", "--ground-truth")
-    q.add_argument("--engine", choices=("lsh", "ivf", "exact"),
+    q.add_argument("--engine", choices=("lsh", "ivf", "exact", "stream"),
                    default="lsh")
+    q.add_argument("--segment-points", type=int, default=1 << 22,
+                   help="stream engine: points per host segment")
+    q.add_argument("--device-budget", type=int, default=0,
+                   help="stream engine: HBM bytes for a device-resident"
+                   " segment prefix (clamped against measured free HBM"
+                   " minus two double-buffer slots; 0 = fully streamed)")
+    q.add_argument("--index",
+                   help="stream engine: load a checkpointed segmented"
+                   " index (.npz from --save-index / index-build) instead"
+                   " of rebuilding; -d is then only read for metadata")
+    q.add_argument("--save-index",
+                   help="stream engine: checkpoint the freshly built"
+                   " segmented index to this .npz")
     q.add_argument("--probes", type=int, default=1)
     q.add_argument("--max-hits", type=int, default=256)
     q.add_argument("--block-size", type=int, default=32)
@@ -825,7 +876,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-d", "--database", required=True)
     q.add_argument("-o", "--output", required=True)
     q.add_argument("-l", "--kmer-len", type=int, default=25)
-    q.add_argument("--engine", choices=("lsh", "ivf"), default="ivf")
+    q.add_argument("--engine", choices=("lsh", "ivf", "stream"),
+                   default="ivf")
+    q.add_argument("--segment-points", type=int, default=1 << 22,
+                   help="stream engine: points per host segment")
     q.add_argument("--block-size", type=int, default=32)
     common_lsh(q)
     q.set_defaults(func=cmd_index_build)

@@ -160,6 +160,80 @@ def upload_segment(seg: HostSegment) -> ivf.IVFIndex:
                         kmer_len=seg.kmer_len)
 
 
+def segment_device_bytes(seg: HostSegment) -> int:
+    """HBM cost of keeping one segment device-resident, counting TPU
+    lane padding (last dim padded to 128): the int8 rows pad ~1.12x,
+    the (B, bs) int32 order map pads bs->128 (4x at bs=32), and the
+    recomputed f32 centroids/radii are device-only arrays the host
+    byte set never holds.  The round-4 budget check used ``seg.nbytes``
+    (host bytes, ~2.6x smaller) — which is how the 0.50-residency row
+    died with RESOURCE_EXHAUSTED (BENCH_NOTES r4)."""
+    b, bsl = seg.db_sorted.shape
+    bs = seg.order.shape[1]
+    d = seg.kmer_len * embedding.COORDINATES.shape[1]
+    pad = lambda x: -(-x // 128) * 128
+    return (b * pad(bsl)              # db_sorted int8
+            + b * pad(bs) * 4         # order int32
+            + b * pad(d) * 4          # block_centroid f32
+            + pad(b) * 4)             # block_radius f32
+
+
+def free_device_bytes(device=None) -> int | None:
+    """Free HBM on ``device`` per the runtime's memory stats, or None
+    when the backend exposes none (CPU)."""
+    dev = device or jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        return None
+    if not stats or "bytes_limit" not in stats:
+        return None
+    return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+
+
+def clamp_device_budget(budget: int, segments: list[HostSegment],
+                        device=None) -> int:
+    """Clamp a residency budget so resident segments + TWO streamed
+    double-buffer slots always fit measured free HBM (with 512 MB of
+    slack for search-time intermediates).  Returns the clamped budget
+    and warns when it bites — the knob degrades to more streaming
+    instead of crashing the search."""
+    if budget <= 0 or not segments:
+        return max(budget, 0)
+    free = free_device_bytes(device)
+    if free is None:
+        return budget
+    reserve = 2 * max(segment_device_bytes(s) for s in segments) \
+        + (512 << 20)
+    allowed = max(free - reserve, 0)
+    if budget > allowed:
+        import warnings
+        warnings.warn(
+            f"device residency budget {budget / 1e9:.2f} GB exceeds free "
+            f"HBM minus the double-buffer reserve ({allowed / 1e9:.2f} GB"
+            f" usable of {free / 1e9:.2f} GB free); clamping — more "
+            "segments will stream instead")
+        return allowed
+    return budget
+
+
+def set_residency(sidx: SegmentedIVF, device_budget_bytes: int) -> None:
+    """(Re)pin leading segments device-resident under a clamped budget.
+
+    Frees any currently resident copies first, then uploads segments in
+    order until the budget is exhausted — the path by which a
+    checkpoint-loaded index (fully host-resident) gets its resident
+    prefix back."""
+    sidx.resident = [None] * len(sidx.segments)
+    budget = clamp_device_budget(device_budget_bytes, sidx.segments)
+    for i, seg in enumerate(sidx.segments):
+        cost = segment_device_bytes(seg)
+        if budget < cost:
+            break
+        sidx.resident[i] = upload_segment(seg)
+        budget -= cost
+
+
 def build_segmented(db_kmers, key: jax.Array,
                     segment_points: int = 1 << 22,
                     block_size: int = 32,
@@ -189,17 +263,27 @@ def build_segmented(db_kmers, key: jax.Array,
     buf = []
     buffered = 0
 
+    clamped = False
+
     def flush(rows):
-        nonlocal offset, budget, kmer_len
+        nonlocal offset, budget, kmer_len, clamped
         kmer_len = rows.shape[1]
         sub = ivf.build_index(np.asarray(rows, np.int8),
                               jax.random.fold_in(key, len(segments)),
                               block_size=block_size)
         seg = _to_host_segment(sub, offset)
         segments.append(seg)
-        if budget >= seg.nbytes:
+        if not clamped:
+            # first segment known: clamp the residency budget against
+            # measured free HBM minus two double-buffer slots (the
+            # round-4 seg.nbytes check under-counted ~2.6x and the 0.50
+            # residency row crashed with RESOURCE_EXHAUSTED)
+            budget = clamp_device_budget(budget, [seg])
+            clamped = True
+        cost = segment_device_bytes(seg)
+        if budget >= cost:
             resident.append(sub)        # keep the device copy
-            budget -= seg.nbytes
+            budget -= cost
         else:
             resident.append(None)       # device copy garbage-collected
         offset += seg.n_points

@@ -15,13 +15,34 @@ import jax.numpy as jnp
 import numpy as np
 
 def save_index(path: str, index) -> None:
-    """Serialize a MotifIndex / IVFIndex / SeedIndex to ``path`` (.npz)."""
-    from ..search import ivf, motif
+    """Serialize a MotifIndex / IVFIndex / SeedIndex / SegmentedIVF to
+    ``path`` (.npz)."""
+    from ..search import ivf, motif, stream
     from ..align import seed_index as si
     from ..lsh import pstable
     from ..ops import segment
 
-    if isinstance(index, motif.MotifIndex):
+    if isinstance(index, stream.SegmentedIVF):
+        # the host byte set IS the checkpoint (~29 B/point): per-segment
+        # block-sorted int8 rows + int32 order maps.  host_kmers and the
+        # device-side bounds are derived (unsort_blocks at load,
+        # _recompute_bounds at upload).  Plain savez, not compressed:
+        # the 2^27 byte set is ~4.4 GB and the index rows are
+        # high-entropy — compression buys little and costs minutes.
+        arrays = {}
+        for i, s in enumerate(index.segments):
+            arrays[f"seg{i}_db"] = s.db_sorted
+            arrays[f"seg{i}_order"] = s.order
+        np.savez(path, __kind__="segivf",
+                 meta=json.dumps({
+                     "n_points": index.n_points,
+                     "kmer_len": index.kmer_len,
+                     "block_size": index.block_size,
+                     "segments": [{"offset": s.offset,
+                                   "n_points": s.n_points}
+                                  for s in index.segments]}),
+                 **arrays)
+    elif isinstance(index, motif.MotifIndex):
         np.savez_compressed(
             path, __kind__="motif",
             meta=json.dumps({"cand_max": index.cand_max,
@@ -56,10 +77,15 @@ def save_index(path: str, index) -> None:
         raise TypeError(f"unknown index type {type(index)}")
 
 
-def load_index(path: str):
+def load_index(path: str, device_budget_bytes: int = 0):
     """Load an index saved by save_index; arrays land on the default
-    device lazily on first use."""
-    from ..search import ivf, motif
+    device lazily on first use.
+
+    device_budget_bytes applies to segmented indexes only: leading
+    segments are re-pinned device-resident under the (clamped) budget
+    via ``stream.set_residency`` — a loaded index is otherwise fully
+    host-resident/streamed."""
+    from ..search import ivf, motif, stream
     from ..align import seed_index as si
     from ..lsh import pstable
     from ..ops import segment
@@ -67,6 +93,25 @@ def load_index(path: str):
     z = np.load(path, allow_pickle=False)
     kind = str(z["__kind__"])
     meta = json.loads(str(z["meta"]))
+    if kind == "segivf":
+        segs = []
+        for i, sm in enumerate(meta["segments"]):
+            db = z[f"seg{i}_db"]
+            order = z[f"seg{i}_order"]
+            n = int(sm["n_points"])
+            l = int(meta["kmer_len"])
+            segs.append(stream.HostSegment(
+                offset=int(sm["offset"]), n_points=n, kmer_len=l,
+                db_sorted=db, order=order,
+                host_kmers=ivf.unsort_blocks(order, db, n, l, np.int8)))
+        sidx = stream.SegmentedIVF(
+            segments=segs, n_points=int(meta["n_points"]),
+            kmer_len=int(meta["kmer_len"]),
+            block_size=int(meta["block_size"]),
+            resident=[None] * len(segs))
+        if device_budget_bytes:
+            stream.set_residency(sidx, device_budget_bytes)
+        return sidx
     if kind == "motif":
         params = pstable.PStableParams(
             a=jnp.asarray(z["a"]), b=jnp.asarray(z["b"]),

@@ -59,4 +59,11 @@ def index_stats(index) -> dict:
                            "p50": float(np.percentile(rad, 50)),
                            "p90": float(np.percentile(rad, 90)),
                            "max": float(rad.max())}}
+    from ..search import stream
+    if isinstance(index, stream.SegmentedIVF):
+        return {"kind": "segivf", "n_points": index.n_points,
+                "num_segments": index.num_segments,
+                "block_size": index.block_size,
+                "host_bytes": sum(s.nbytes for s in index.segments),
+                "resident_fraction": index.resident_fraction()}
     raise TypeError(type(index))

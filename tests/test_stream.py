@@ -76,7 +76,8 @@ def test_device_budget_keeps_prefix_resident(rng):
     # vary with cell padding, so size the budget from a dry build)
     dry = stream.build_segmented(db, jax.random.PRNGKey(0),
                                  segment_points=1024, block_size=16)
-    budget = dry.segments[0].nbytes + dry.segments[1].nbytes
+    budget = stream.segment_device_bytes(dry.segments[0]) \
+        + stream.segment_device_bytes(dry.segments[1])
     sidx = stream.build_segmented(db, jax.random.PRNGKey(0),
                                   segment_points=1024, block_size=16,
                                   device_budget_bytes=budget)
@@ -107,3 +108,79 @@ def test_recomputed_bounds_match_build(rng):
                                np.asarray(idx.block_radius), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(up.db_sorted),
                                   np.asarray(idx.db_sorted))
+
+
+def test_checkpoint_roundtrip_identical_hits(rng, tmp_path):
+    """save_index/load_index on a SegmentedIVF: the reloaded index
+    returns the identical hit set (the host byte set IS the checkpoint;
+    host_kmers and device bounds are derived on load/upload — VERDICT
+    r4 next #4: build-once/search-many)."""
+    from hsearch_tpu.utils import checkpoint
+
+    n, c, l = 5000, 8, 10
+    db, centers = _family_db(rng, n, c, l)
+    a = stream.build_segmented(db, jax.random.PRNGKey(2),
+                               segment_points=2048, block_size=16)
+    path = str(tmp_path / "seg.npz")
+    checkpoint.save_index(path, a)
+    b = checkpoint.load_index(path)
+    assert b.num_segments == a.num_segments
+    assert b.n_points == a.n_points and b.block_size == a.block_size
+    for sa, sb in zip(a.segments, b.segments):
+        np.testing.assert_array_equal(sa.db_sorted, sb.db_sorted)
+        np.testing.assert_array_equal(sa.order, sb.order)
+        np.testing.assert_array_equal(sa.host_kmers, sb.host_kmers)
+    ca, ka, da = stream.search_segmented(a, centers, 30.0,
+                                         k_blocks=32, max_hits=512)
+    cb, kb, db_ = stream.search_segmented(b, centers, 30.0,
+                                          k_blocks=32, max_hits=512)
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(ka, kb)
+    np.testing.assert_allclose(da, db_, atol=1e-5)
+
+
+def test_set_residency_after_load(rng, tmp_path):
+    """A checkpoint-loaded index gets its resident prefix back under
+    set_residency, and searches identically at any residency."""
+    from hsearch_tpu.utils import checkpoint
+
+    n, c, l = 4096, 8, 10
+    db, centers = _family_db(rng, n, c, l)
+    a = stream.build_segmented(db, jax.random.PRNGKey(3),
+                               segment_points=1024, block_size=16)
+    path = str(tmp_path / "seg.npz")
+    checkpoint.save_index(path, a)
+    budget = stream.segment_device_bytes(a.segments[0]) * 2
+    b = checkpoint.load_index(path, device_budget_bytes=budget)
+    # CPU backend exposes no memory stats -> budget passes unclamped
+    assert sum(r is not None for r in b.resident) >= 1
+    c0, k0, _ = stream.search_segmented(a, centers, 30.0, k_blocks=32,
+                                        max_hits=512)
+    c1, k1, _ = stream.search_segmented(b, centers, 30.0, k_blocks=32,
+                                        max_hits=512)
+    assert set(zip(c0, k0)) == set(zip(c1, k1))
+
+
+def test_clamp_device_budget_math():
+    """The clamp reserves two double-buffer slots + slack against the
+    reported free HBM (unit math on a fake device)."""
+    seg = stream.HostSegment(
+        offset=0, n_points=1024, kmer_len=10,
+        db_sorted=np.zeros((64, 160), np.int8),
+        order=np.zeros((64, 16), np.int32),
+        host_kmers=np.zeros((1024, 10), np.int8))
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30, "bytes_in_use": 4 << 30}
+
+    free = (16 << 30) - (4 << 30)
+    reserve = 2 * stream.segment_device_bytes(seg) + (512 << 20)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        got = stream.clamp_device_budget(1 << 62, [seg], device=FakeDev())
+    assert got == free - reserve
+    # small budgets pass through untouched
+    assert stream.clamp_device_budget(1 << 20, [seg],
+                                      device=FakeDev()) == 1 << 20
