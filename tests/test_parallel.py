@@ -271,3 +271,46 @@ def test_sharded_packed_overflow_fallback(rng):
                                         k_blocks=iidx.blocks_per_shard)
     gci, gki, _ = exact.search_radius(db, centers, 1e3, max_hits=n)
     assert set(zip(ci, ki)) == set(zip(gci, gki))
+
+
+def test_stream_sharded_equals_single_device(rng):
+    """stream x sharded composition (parallel/stream_sharded.py): a
+    segmented index searched over the db mesh axis — one wave with every
+    segment resident on its own shard, and multi-wave when segments
+    outnumber shards — returns the single-device streamed engine's hit
+    set, which equals the exact oracle (VERDICT r4 next #5)."""
+    import jax as _jax
+    from hsearch_tpu.parallel import mesh as mesh_lib, stream_sharded
+    from hsearch_tpu.search import exact as exact_lib, stream
+
+    n, c, l = 8192, 12, 10
+    nfam = n // 32
+    fam = rng.integers(0, 20, (nfam, l), dtype=np.int32)
+    db = fam[rng.integers(0, nfam, n)].copy()
+    db[rng.random((n, l)) < 0.05] = 0
+    centers = fam[rng.choice(nfam, c, replace=False)]
+    sidx = stream.build_segmented(db, _jax.random.PRNGKey(4),
+                                  segment_points=1024, block_size=16)
+    assert sidx.num_segments == 8
+    gci, gki, _ = exact_lib.search_radius(db, centers, 30.0)
+    s_ci, s_ki, _ = stream.search_segmented(sidx, centers, 30.0,
+                                            k_blocks=64, max_hits=512)
+    # one wave: 8 segments over 8 db shards, everything resident
+    st: dict = {}
+    ci, ki, dd = stream_sharded.search_segmented_sharded(
+        sidx, centers, 30.0, mesh=mesh_lib.make_mesh(8, data=1),
+        k_blocks=64, max_hits=512, stats_out=st)
+    assert st["waves"] == 1 and st["db_shards"] == 8
+    assert set(zip(ci, ki)) == set(zip(s_ci, s_ki)) \
+        == set(zip(gci, gki))
+    # multi-wave: 8 segments over 2 db shards (+ a data axis), with an
+    # uneven tail via a 3000-point rebuild
+    sidx2 = stream.build_segmented(db[:3000], _jax.random.PRNGKey(4),
+                                   segment_points=1024, block_size=16)
+    g2 = exact_lib.search_radius(db[:3000], centers, 30.0)
+    st2: dict = {}
+    ci2, ki2, _ = stream_sharded.search_segmented_sharded(
+        sidx2, centers, 30.0, mesh=mesh_lib.make_mesh(4, data=2),
+        k_blocks=64, max_hits=512, stats_out=st2)
+    assert st2["waves"] == 2 and st2["db_shards"] == 2
+    assert set(zip(ci2, ki2)) == set(zip(g2[0], g2[1]))
