@@ -92,26 +92,23 @@ def child_main(pid, nproc, port, n, tables):
     del seqs
     t0 = time.perf_counter()
     n_stream_hits = 0
+
+    # corpus-scale operating point (HSEARCH_STREAM=1): hits stream
+    # through a counting sink (union edges taken as they pass), strings
+    # unrendered — the per-child working set stays O(slice + index)
+    def _count(chunk_hits):
+        nonlocal n_stream_hits
+        n_stream_hits += len(chunk_hits)
+
+    sink_kw = {"hit_sink": _count, "render": False} if stream else {}
     if nproc > 1:
         res = pcluster_dist.cluster_proteins_distributed(
             db, jax.random.PRNGKey(0), tables=tables, bits=bits,
-            sigma=sigma)
-    elif stream:
-        # corpus-scale operating point: hits stream through a counting
-        # sink (union edges taken as they pass), strings unrendered —
-        # the per-child working set stays O(slice + index)
-        def _count(chunk_hits):
-            nonlocal n_stream_hits
-            n_stream_hits += len(chunk_hits)
-
-        res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0),
-                                        tables=tables, bits=bits,
-                                        sigma=sigma, hit_sink=_count,
-                                        render=False)
+            sigma=sigma, **sink_kw)
     else:
         res = pcluster.cluster_proteins(db, jax.random.PRNGKey(0),
                                         tables=tables, bits=bits,
-                                        sigma=sigma)
+                                        sigma=sigma, **sink_kw)
     wall = time.perf_counter() - t0
     try:
         import resource
@@ -123,8 +120,8 @@ def child_main(pid, nproc, port, n, tables):
            "nproc": nproc, "pid": pid, "tables": tables,
            "bits": bits, "sigma": sigma, "stream": stream,
            "peak_rss_gb": peak_gb,
-           "local_hits": n_stream_hits if stream and nproc == 1
-           else len(res.hits), "total_s": round(wall, 2),
+           "local_hits": n_stream_hits if stream else len(res.hits),
+           "total_s": round(wall, 2),
            "proteins_per_s": round(n / wall, 1)}
     if pid == 0:
         out["clusters"] = len(set(res.labels.tolist()))

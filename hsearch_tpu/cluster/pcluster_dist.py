@@ -84,7 +84,9 @@ def cluster_proteins_distributed(
         bits: int = pcluster.DEFAULT_BITS,
         sigma: float = pcluster.DEFAULT_SIGMA,
         tables: int = 1,
-        gapped: bool = False) -> pcluster.ProteinClusters:
+        gapped: bool = False,
+        hit_sink=None,
+        render: bool = True) -> pcluster.ProteinClusters:
     """``cluster_proteins`` across ``jax.process_count()`` processes.
 
     Every process calls with identical arguments (the standard SPMD
@@ -92,7 +94,16 @@ def cluster_proteins_distributed(
     Returns labels and pre_groups identical on every process and to the
     single-process ``cluster_proteins`` under the same key; ``hits``
     holds THIS process's aligned groups' hits only.
+
+    hit_sink/render: as in ``cluster_proteins`` — local hits stream to
+    the sink per search slice (union edges are built from compact
+    per-slice arrays as they pass, 12 B/hit instead of resident Hit
+    objects) and ``hits`` comes back empty.  Labels stay identical:
+    the edge exchange and union-find see the same (query, subject,
+    flag) rows either way.
     """
+    if hit_sink is not None and gapped:
+        raise ValueError("hit_sink requires gapped=False")
     nproc = jax.process_count()
     pid = jax.process_index()
     profiling.heartbeat(
@@ -149,12 +160,29 @@ def cluster_proteins_distributed(
             f"{len(my_rows)}/{len(subset)} query rows local, "
             f"{len(new_groups)} groups")
         hits = []
+        edge_parts: list[np.ndarray] = []
         if len(my_rows):
             searcher = align_pipeline.ProteinSearcher(
                 db, params, subset=subset_l, groups=group_l)
-            hits = searcher.search_all(
-                exclude_pairs=hit_pairs if t else None,
-                query_rows=None if group_mode else my_rows)
+            if hit_sink is not None:
+                def _sink(chunk_hits, _parts=edge_parts):
+                    _parts.append(np.array(
+                        [[h.query, h.subject,
+                          1 if (h.query != h.subject
+                                and h.evalue <= cluster_evalue) else 0]
+                         for h in chunk_hits], np.int32)
+                        if chunk_hits else np.zeros((0, 3), np.int32))
+                    hit_sink(chunk_hits)
+
+                searcher.search_all(
+                    exclude_pairs=hit_pairs if t else None,
+                    query_rows=None if group_mode else my_rows,
+                    hit_sink=_sink, render=render)
+            else:
+                hits = searcher.search_all(
+                    exclude_pairs=hit_pairs if t else None,
+                    query_rows=None if group_mode else my_rows,
+                    render=render)
             if gapped and hits:
                 by_query: dict[int, list] = {}
                 for h in hits:
@@ -169,11 +197,16 @@ def cluster_proteins_distributed(
         # gapped refinement replaces hits 1:1 on the same (q, s) pairs,
         # so the post-refinement pair set serves both the cross-table
         # dedup and the union edges.
-        edges = np.array(
-            [[h.query, h.subject,
-              1 if (h.query != h.subject and h.evalue <= cluster_evalue)
-              else 0] for h in hits],
-            np.int32) if hits else np.zeros((0, 3), np.int32)
+        if hit_sink is not None:
+            edges = np.concatenate(edge_parts) if edge_parts \
+                else np.zeros((0, 3), np.int32)
+        else:
+            edges = np.array(
+                [[h.query, h.subject,
+                  1 if (h.query != h.subject
+                        and h.evalue <= cluster_evalue) else 0]
+                 for h in hits],
+                np.int32) if hits else np.zeros((0, 3), np.int32)
         edges = _allgather_rows(edges, 3)
         profiling.heartbeat(
             f"cluster_proteins_dist p{pid}: table {t + 1}/{tables} — "

@@ -105,3 +105,29 @@ def test_three_process_odd_nproc_both_modes(monkeypatch):
     _mp_check.run_local_cluster(
         nproc=3, ndev_per_proc=1,
         module="hsearch_tpu.cluster._mp_pcluster_check")
+
+
+def test_hit_sink_streaming_identical_labels_and_edges():
+    """hit_sink mode (multi-table): labels bit-identical to the
+    resident-hits path, streamed hits reproduce the resident hit rows,
+    and nothing accumulates in res.hits — in both the single-process
+    and the distributed (1-process degenerate) drivers."""
+    db = _mp_pcluster_check._workload()
+    key = jax.random.PRNGKey(11)
+    ref = pcluster.cluster_proteins(db, key, tables=2)
+    streamed: list = []
+    res = pcluster.cluster_proteins(db, key, tables=2,
+                                    hit_sink=streamed.extend,
+                                    render=False)
+    np.testing.assert_array_equal(res.labels, ref.labels)
+    assert res.hits == []
+    assert _mp_pcluster_check._hit_rows(streamed).tolist() == \
+        _mp_pcluster_check._hit_rows(ref.hits).tolist()
+
+    streamed_d: list = []
+    dist = pcluster_dist.cluster_proteins_distributed(
+        db, key, tables=2, hit_sink=streamed_d.extend, render=False)
+    np.testing.assert_array_equal(dist.labels, ref.labels)
+    assert dist.hits == []
+    assert _mp_pcluster_check._hit_rows(streamed_d).tolist() == \
+        _mp_pcluster_check._hit_rows(ref.hits).tolist()
