@@ -310,7 +310,8 @@ def cmd_hclust2(args):
         lab = np.where(res.parent >= 0, res.parent,
                        np.arange(len(res.parent)))
         lab = postprocess.merge_by_center_distance(
-            km, lab, args.merge_radius, jax.random.PRNGKey(args.seed + 1))
+            km, lab, args.merge_radius, jax.random.PRNGKey(args.seed + 1),
+            k_blocks=getattr(args, "merge_k_blocks", 128))
         order = np.argsort(lab, kind="stable")
         sl = lab[order]
         groups = np.split(order, np.nonzero(sl[1:] != sl[:-1])[0] + 1)
@@ -772,6 +773,14 @@ def build_parser() -> argparse.ArgumentParser:
                                 "(hclust v1's centroid merge, "
                                 "hclust.cpp:186-235); counters the "
                                 "greedy pass's family fragmentation")
+            q.add_argument("--merge-k-blocks", type=int, default=128,
+                           help="block cap for the merge pass's "
+                                "centers-vs-centers radius search; "
+                                "union-find needs only one surviving "
+                                "edge per cluster pair, so lower caps "
+                                "trade a little merge recall for a "
+                                "shorter pass (over-cap counts are "
+                                "reported)")
         q.set_defaults(func=func)
 
     q = sub.add_parser("pcluster")
