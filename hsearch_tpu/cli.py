@@ -591,17 +591,24 @@ def cmd_serve(args):
     serving session — the reference re-reads and re-hashes the database
     on every invocation)."""
     from .core import alphabet
-    from .search import ivf, motif
+    from .search import ivf, motif, stream
     from .utils import checkpoint
-    index = checkpoint.load_index(args.index)
+    index = checkpoint.load_index(
+        args.index,
+        device_budget_bytes=getattr(args, "device_budget", 0))
     is_ivf = isinstance(index, ivf.IVFIndex)
+    is_seg = isinstance(index, stream.SegmentedIVF)
     kmer_len = index.kmer_len
-    print(f"[serving {'ivf' if is_ivf else 'lsh'} index: "
-          f"{index.n_points if is_ivf else index.num_points} points, "
-          f"L={kmer_len}; query = one sequence per line, blank to quit]",
-          file=sys.stderr)
+    kind = "segmented" if is_seg else ("ivf" if is_ivf else "lsh")
+    n_pts = index.n_points if (is_ivf or is_seg) else index.num_points
+    extra = (f", {index.num_segments} segments, resident "
+             f"{index.resident_fraction():.2f}") if is_seg else ""
+    print(f"[serving {kind} index: {n_pts} points, "
+          f"L={kmer_len}{extra}; query = one sequence per line, "
+          "blank to quit]", file=sys.stderr)
     cfg = motif.MotifSearchConfig(radius=args.radius,
-                                  probes=args.probes) if not is_ivf else None
+                                  probes=args.probes) \
+        if not (is_ivf or is_seg) else None
     fin = open(args.input) if args.input else sys.stdin
     for line in fin:
         seq = line.strip().upper()
@@ -613,7 +620,10 @@ def cmd_serve(args):
             print(f"# query must be length {kmer_len}", file=sys.stderr)
             continue
         q = alphabet.encode(seq).astype(np.int32)[None, :]
-        if is_ivf:
+        if is_seg:
+            ci, ki, dd = stream.search_segmented(index, q, args.radius,
+                                                 k_blocks=args.k_blocks)
+        elif is_ivf:
             ci, ki, dd = ivf.search(index, q, args.radius,
                                     k_blocks=args.k_blocks)
         else:
@@ -899,6 +909,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-T", "--radius", type=float, default=35.0)
     q.add_argument("--k-blocks", type=int, default=64)
     q.add_argument("--probes", type=int, default=8)
+    q.add_argument("--device-budget", type=int, default=0,
+                   help="segmented index: HBM bytes for a resident"
+                   " prefix (clamped; 0 = fully streamed)")
     q.set_defaults(func=cmd_serve)
 
     q = sub.add_parser("lsh-sweep")
