@@ -248,15 +248,22 @@ def cluster_proteins(db, key: jax.Array,
             key_parts: list[np.ndarray] = []
 
             def _sink(chunk_hits, _parts=key_parts):
-                for h in chunk_hits:
-                    if h.query != h.subject \
-                            and h.evalue <= cluster_evalue:
-                        uf.union(h.query, h.subject)
-                if tables > 1:
-                    _parts.append(np.fromiter(
-                        ((int(h.query) << 32) | int(h.subject)
-                         for h in chunk_hits),
-                        np.uint64, len(chunk_hits)))
+                n_h = len(chunk_hits)
+                if n_h:
+                    q = np.fromiter((h.query for h in chunk_hits),
+                                    np.int64, n_h)
+                    s = np.fromiter((h.subject for h in chunk_hits),
+                                    np.int64, n_h)
+                    ev = np.fromiter((h.evalue for h in chunk_hits),
+                                     np.float64, n_h)
+                    m = (q != s) & (ev <= cluster_evalue)
+                    # batch union (same components as per-hit unions;
+                    # labels canonicalize in components())
+                    uf.union_edges(q[m], s[m])
+                    if tables > 1:
+                        _parts.append(
+                            (q.astype(np.uint64) << np.uint64(32))
+                            | s.astype(np.uint64))
                 hit_sink(chunk_hits)
 
             searcher.search_all(exclude_pairs=hit_pairs if t else None,
