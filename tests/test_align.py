@@ -472,3 +472,54 @@ def test_search_all_probe_chunking_identical(rng):
                                groups=groups[order]).search_all()
     assert key(big) == key(small)
     assert len(big) > 0
+
+
+def test_search_all_pair_budget_slicing_identical(rng):
+    """Tiny pair_budget (forcing many candidate-budget sub-slices per
+    chunk, cut at protein boundaries) + tiny probe_chunk reproduces the
+    unbounded pipeline exactly, in BOTH the returned list and the sink
+    stream, with and without query_rows — the corpus-scale streaming
+    path at toy size."""
+    import numpy as np
+    from hsearch_tpu.align import pipeline as ap
+
+    n, plen, n_fam = 48, 60, 8
+    seqs = []
+    for i in range(n):
+        base = np.random.default_rng(1200 + i % n_fam).integers(
+            0, 20, plen)
+        s = base.copy()
+        pos = rng.choice(plen, 2, replace=False)
+        s[pos] = rng.integers(0, 20, 2)
+        seqs.append(s)
+
+    class DB:
+        names = [f"p{i}" for i in range(n)]
+        seq = np.concatenate(seqs).astype(np.int32)
+        starts = np.arange(n + 1, dtype=np.int64) * plen
+        num_proteins = n
+
+    groups = (np.arange(n) % 2).astype(np.int64)
+    order = np.argsort(groups, kind="stable")
+
+    def key(hs):
+        return [(h.query, h.subject, h.score, h.evalue, h.q_beg,
+                 h.d_beg, h.q_aln) for h in hs]
+
+    big = ap.ProteinSearcher(DB(), ap.SearchParams(), subset=order,
+                             groups=groups[order]).search_all()
+    tiny = ap.SearchParams(probe_chunk=130, pair_budget=64)
+    s2 = ap.ProteinSearcher(DB(), tiny, subset=order,
+                            groups=groups[order])
+    small = s2.search_all()
+    assert key(big) == key(small) and len(big) > 0
+    # sink stream concatenates to the same list, in order
+    streamed: list = []
+    s2.search_all(hit_sink=streamed.extend)
+    assert key(streamed) == key(big)
+    # query_rows partition under tiny budgets: union over parts == full
+    rows_a = np.arange(0, n, 2)
+    rows_b = np.arange(1, n, 2)
+    got = s2.search_all(query_rows=rows_a) \
+        + s2.search_all(query_rows=rows_b)
+    assert sorted(key(got)) == sorted(key(big))
